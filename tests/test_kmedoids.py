@@ -1,0 +1,112 @@
+"""K-medoids tests (reference tests/test_kmeans_optimized.py)."""
+import numpy as np
+import pytest
+
+from vqvae_tpu.ops import (
+    fit_kmedoids,
+    kpp_initialization,
+    kpp_parallel_initialization,
+    assign_points_to_medoids,
+    compute_quantization_error,
+    build_knn_graph,
+)
+
+
+def test_kpp_basic(line_graph):
+    centers = kpp_initialization(line_graph, K=2, seed=0)
+    assert len(centers) == 2
+    assert len(set(centers)) == 2
+    assert all(0 <= c < 4 for c in centers)
+
+
+def test_kpp_deterministic(line_graph):
+    a = kpp_initialization(line_graph, K=3, seed=7)
+    b = kpp_initialization(line_graph, K=3, seed=7)
+    assert a == b
+
+
+def test_kpp_disconnected(disconnected_two_lines):
+    centers = kpp_initialization(disconnected_two_lines, K=3, seed=1)
+    assert len(centers) == 3
+    assert len(set(centers)) == 3
+
+
+def test_kpp_parallel_deterministic(random_latents):
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    a = kpp_parallel_initialization(W, K=10, seed=3)
+    b = kpp_parallel_initialization(W, K=10, seed=3)
+    assert a == b
+    assert len(a) == 10 and len(set(a)) == 10
+
+
+def test_fit_shapes_and_validity(random_latents):
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    medoids, assign, qe = fit_kmedoids(W, K=8, init="kpp", seed=42)
+    n = W.shape[0]
+    assert medoids.shape == (8,)
+    assert assign.shape == (n,)
+    assert ((assign >= 0) & (assign < 8)).all()
+    assert qe >= 0
+
+
+def test_both_inits_reasonable(random_latents):
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    _, _, qe_kpp = fit_kmedoids(W, K=8, init="kpp", seed=42)
+    _, _, qe_rand = fit_kmedoids(W, K=8, init="random", seed=42)
+    _, _, qe_par = fit_kmedoids(W, K=8, init="kpp_parallel", seed=42)
+    assert np.isfinite([qe_kpp, qe_rand, qe_par]).all()
+    # parallel kpp should be statistically comparable to exact kpp
+    assert qe_par < 4.0 * qe_kpp
+
+
+def test_k_equals_one(line_graph):
+    medoids, assign, qe = fit_kmedoids(line_graph, K=1, init="kpp", seed=0)
+    assert len(medoids) == 1
+    assert (assign == 0).all()
+
+
+def test_seed_determinism(random_latents):
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    m1, a1, q1 = fit_kmedoids(W, K=5, init="kpp", seed=11)
+    m2, a2, q2 = fit_kmedoids(W, K=5, init="kpp", seed=11)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(a1, a2)
+    assert q1 == q2
+
+
+def test_invalid_init_raises(line_graph):
+    with pytest.raises(ValueError):
+        fit_kmedoids(line_graph, K=2, init="bogus")
+
+
+def test_medoid_self_assignment(random_latents):
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    medoids, assign, _ = fit_kmedoids(W, K=6, init="kpp", seed=5)
+    for ki, m in enumerate(medoids):
+        assert assign[m] == ki
+
+
+def test_disconnected_qe_may_be_inf_before_lcc(disconnected_two_lines):
+    medoids, assign, dist = None, None, None
+    medoids = np.asarray([0], np.int64)
+    assign, dist = assign_points_to_medoids(disconnected_two_lines, medoids)
+    qe = compute_quantization_error(dist)
+    assert np.isfinite(qe)  # finite-only sum per reference semantics
+    assert np.isinf(dist[3]) and np.isinf(dist[4])
+
+
+def test_assignment_matches_scipy_oracle(random_latents):
+    from scipy.sparse.csgraph import dijkstra
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    medoids = np.asarray([3, 50, 120, 180], np.int64)
+    assign, dist = assign_points_to_medoids(W, medoids)
+    ref = dijkstra(W, directed=False, indices=medoids)
+    ref_assign = ref.argmin(axis=0)
+    ref_dist = ref.min(axis=0)
+    np.testing.assert_allclose(dist, ref_dist, rtol=1e-5, atol=1e-4)
+    # ties can differ; require distance equality where assignments differ
+    diff = assign != ref_assign
+    if diff.any():
+        np.testing.assert_allclose(ref[assign[diff], np.nonzero(diff)[0]],
+                                   ref_dist[diff], rtol=1e-5, atol=1e-4)

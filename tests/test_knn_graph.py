@@ -1,0 +1,103 @@
+"""kNN graph tests against sklearn oracles (reference tests/test_knn_graph.py)."""
+import numpy as np
+import pytest
+from scipy import sparse
+
+from vqvae_tpu.ops import build_knn_graph, build_knn_graph_auto, knn_search
+from vqvae_tpu.ops.graph import largest_connected_component, analyze_graph_connectivity
+
+
+def test_empty_input():
+    W, info = build_knn_graph(np.empty((0, 4), np.float32), k=3)
+    assert W.shape == (0, 0)
+    assert info["distances"].shape == (0, 0)
+
+
+def test_single_point():
+    W, info = build_knn_graph(np.zeros((1, 4), np.float32), k=3)
+    assert W.shape == (1, 1)
+    assert W.nnz == 0
+
+
+def test_k_zero():
+    z = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+    W, info = build_knn_graph(z, k=0)
+    assert W.nnz == 0
+    assert info["distances"].shape == (10, 0)
+
+
+def test_k_capped_at_n_minus_1():
+    z = np.random.RandomState(0).randn(5, 3).astype(np.float32)
+    W, info = build_knn_graph(z, k=10)
+    assert info["indices"].shape == (5, 4)
+
+
+def test_no_self_neighbors():
+    z = np.random.RandomState(1).randn(50, 4).astype(np.float32)
+    _, info = build_knn_graph(z, k=5)
+    for i in range(50):
+        assert i not in info["indices"][i]
+
+
+def test_symmetry_and_zero_diagonal():
+    z = np.random.RandomState(2).randn(40, 4).astype(np.float32)
+    for sym in ["mutual", "union"]:
+        W, _ = build_knn_graph(z, k=5, sym=sym)
+        assert (abs(W - W.T)).nnz == 0
+        assert W.diagonal().sum() == 0
+
+
+def test_distance_vs_connectivity_modes():
+    z = np.random.RandomState(3).randn(30, 4).astype(np.float32)
+    Wd, _ = build_knn_graph(z, k=4, mode="distance", sym="union")
+    Wc, _ = build_knn_graph(z, k=4, mode="connectivity", sym="union")
+    assert (Wc.data == 1.0).all()
+    assert Wd.nnz == Wc.nnz
+    assert (Wd.data > 0).all()
+
+
+def test_invalid_sym_raises():
+    z = np.random.RandomState(3).randn(10, 3).astype(np.float32)
+    with pytest.raises(ValueError):
+        build_knn_graph(z, k=2, sym="bogus")
+
+
+def test_matches_sklearn_euclidean(random_latents):
+    from sklearn.neighbors import NearestNeighbors
+
+    z = random_latents
+    k = 7
+    nn = NearestNeighbors(n_neighbors=k + 1).fit(z)
+    ref_d, ref_i = nn.kneighbors(z)
+    d, i = knn_search(z, k + 1)
+    # distances must agree tightly; index order may differ on exact ties
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(ref_d, 1), atol=1e-4)
+    overlap = np.mean([len(set(i[r]) & set(ref_i[r])) / (k + 1) for r in range(len(z))])
+    assert overlap > 0.999
+
+
+def test_matches_sklearn_cosine(random_latents):
+    from sklearn.neighbors import NearestNeighbors
+
+    z = random_latents
+    nn = NearestNeighbors(n_neighbors=6, metric="cosine").fit(z)
+    ref_d, _ = nn.kneighbors(z)
+    d, _ = knn_search(z, 6, metric="cosine")
+    np.testing.assert_allclose(np.sort(d, 1), np.sort(ref_d, 1), atol=1e-4)
+
+
+def test_host_fallback_agrees_with_device(random_latents):
+    Wd, _ = build_knn_graph_auto(random_latents, k=5, sym="union")
+    Wh, _ = build_knn_graph_auto(random_latents, k=5, sym="union", force_method="host")
+    assert (Wd != Wh).nnz == 0 or np.allclose((Wd - Wh).data, 0, atol=1e-4)
+
+
+def test_lcc_mask(disconnected_two_lines):
+    mask = largest_connected_component(disconnected_two_lines)
+    assert mask.tolist() == [True, True, True, False, False]
+
+
+def test_connectivity_stats(disconnected_two_lines):
+    stats = analyze_graph_connectivity(disconnected_two_lines)
+    assert stats["n_components"] == 2
+    assert stats["largest_component_size"] == 3

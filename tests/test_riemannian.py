@@ -1,0 +1,99 @@
+"""Riemannian metric tests with an analytic linear decoder
+(reference tests/test_riemannian_metric.py uses the same DummyDec trick:
+for a linear map z -> sigmoid(Wz), the JVP is diag(s(1-s)) W v)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqvae_tpu.ops import edge_lengths_riemannian
+
+
+@pytest.fixture
+def linear_decode_fn():
+    rng = np.random.RandomState(0)
+    W = jnp.asarray(rng.randn(6, 4).astype(np.float32))
+
+    def decode(z):  # (B, 4) -> (B, 6), sigmoid like the image map
+        return jax.nn.sigmoid(z @ W.T)
+
+    return decode, np.asarray(W)
+
+
+def _analytic_length(W, za, zb):
+    v = zb - za
+    def jvp_at(z):
+        s = 1.0 / (1.0 + np.exp(-(z @ W.T)))
+        return (s * (1 - s)) * (v @ W.T)
+    return 0.5 * (np.linalg.norm(jvp_at(za), axis=1)
+                  + np.linalg.norm(jvp_at(zb), axis=1))
+
+
+def test_shapes_and_nonnegativity(linear_decode_fn):
+    decode, _ = linear_decode_fn
+    rng = np.random.RandomState(1)
+    za = rng.randn(37, 4).astype(np.float32)
+    zb = rng.randn(37, 4).astype(np.float32)
+    lengths = edge_lengths_riemannian(decode, za, zb, batch_size=16)
+    assert lengths.shape == (37,)
+    assert (lengths >= 0).all()
+
+
+def test_matches_analytic_jacobian(linear_decode_fn):
+    decode, W = linear_decode_fn
+    rng = np.random.RandomState(2)
+    za = rng.randn(20, 4).astype(np.float32)
+    zb = rng.randn(20, 4).astype(np.float32)
+    ours = edge_lengths_riemannian(decode, za, zb, batch_size=8)
+    ref = _analytic_length(W, za, zb)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_symmetric_under_swap(linear_decode_fn):
+    decode, _ = linear_decode_fn
+    rng = np.random.RandomState(3)
+    za = rng.randn(10, 4).astype(np.float32)
+    zb = rng.randn(10, 4).astype(np.float32)
+    ab = edge_lengths_riemannian(decode, za, zb)
+    ba = edge_lengths_riemannian(decode, zb, za)
+    np.testing.assert_allclose(ab, ba, rtol=1e-5)
+
+
+def test_linear_scaling_with_step(linear_decode_fn):
+    decode, _ = linear_decode_fn
+    rng = np.random.RandomState(4)
+    za = rng.randn(8, 4).astype(np.float32)
+    v = rng.randn(8, 4).astype(np.float32) * 0.01
+    l1 = edge_lengths_riemannian(decode, za, za + v)
+    l2 = edge_lengths_riemannian(decode, za, za + 2 * v)
+    np.testing.assert_allclose(l2 / np.maximum(l1, 1e-12), 2.0, rtol=0.05)
+
+
+def test_batch_size_invariance(linear_decode_fn):
+    decode, _ = linear_decode_fn
+    rng = np.random.RandomState(5)
+    za = rng.randn(33, 4).astype(np.float32)  # ragged final batch
+    zb = rng.randn(33, 4).astype(np.float32)
+    a = edge_lengths_riemannian(decode, za, zb, batch_size=8)
+    b = edge_lengths_riemannian(decode, za, zb, batch_size=33)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_decoder_1x1_grid():
+    """Spatial topology: latents decode as a (B,1,1,C) grid like the
+    reference (riemannian_metric.py:24-27)."""
+    from vqvae_tpu.models import VAE
+    from vqvae_tpu.ops.riemannian import make_decoder_image_fn
+
+    m = VAE(in_channels=1, latent_dim=8, topology="spatial",
+            output_image_size=28, norm_type="none",
+            enc_channels=(8, 16, 32), dec_channels=(32, 16, 8))
+    x = jnp.zeros((1, 28, 28, 1))
+    variables = m.init({"params": jax.random.key(0)}, x)
+    decode_fn = make_decoder_image_fn(m, variables, "spatial")
+    rng = np.random.RandomState(6)
+    za = rng.randn(9, 8).astype(np.float32)
+    zb = rng.randn(9, 8).astype(np.float32)
+    lengths = edge_lengths_riemannian(decode_fn, za, zb, batch_size=4)
+    assert lengths.shape == (9,)
+    assert np.isfinite(lengths).all()

@@ -1,0 +1,41 @@
+from .knn import knn_search
+from .graph import (
+    build_knn_graph,
+    build_knn_graph_auto,
+    Graph,
+    largest_connected_component,
+    analyze_graph_connectivity,
+)
+from .shortest_paths import (
+    multi_source_shortest_paths,
+    single_source_shortest_paths,
+    distances_between,
+)
+from .connected import connected_components_device
+from .kmedoids import (
+    fit_kmedoids,
+    kpp_initialization,
+    kpp_parallel_initialization,
+    assign_points_to_medoids,
+    compute_quantization_error,
+)
+from .riemannian import edge_lengths_riemannian
+
+__all__ = [
+    "knn_search",
+    "build_knn_graph",
+    "build_knn_graph_auto",
+    "Graph",
+    "largest_connected_component",
+    "analyze_graph_connectivity",
+    "multi_source_shortest_paths",
+    "single_source_shortest_paths",
+    "distances_between",
+    "connected_components_device",
+    "fit_kmedoids",
+    "kpp_initialization",
+    "kpp_parallel_initialization",
+    "assign_points_to_medoids",
+    "compute_quantization_error",
+    "edge_lengths_riemannian",
+]

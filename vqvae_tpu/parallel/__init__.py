@@ -1,0 +1,17 @@
+from .mesh import (
+    get_mesh,
+    data_sharding,
+    replicated_sharding,
+    source_sharding,
+    shard_batch,
+    local_device_count,
+)
+
+__all__ = [
+    "get_mesh",
+    "data_sharding",
+    "replicated_sharding",
+    "source_sharding",
+    "shard_batch",
+    "local_device_count",
+]

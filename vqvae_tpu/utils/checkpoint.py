@@ -1,0 +1,141 @@
+"""Checkpointing with best/latest semantics + architecture auto-detection.
+
+The reference keeps ``best.pt`` (on val-loss improvement) and ``latest.pt``
+per stage (reference src/training/engine.py:140-163) but never restores
+optimizer state; here checkpoints carry the **full train state** (params,
+optimizer, step, epoch, batch stats, EMA codebooks — any pytree) via Orbax,
+so every stage is resumable. Layout::
+
+    <ckpt_dir>/best/   <- Orbax checkpoint, overwritten on improvement
+    <ckpt_dir>/latest/ <- Orbax checkpoint, overwritten each save
+
+``auto_detect_vae_config`` ports the reference's state-dict sniffing
+(reference src/utils/checkpoint_utils.py:11-41) to param pytrees: encoder
+channels, latent dim, norm type and image size are recovered from the saved
+weights so evaluators can rebuild a model without its YAML.
+"""
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, ckpt_dir: str | Path):
+        self.dir = Path(ckpt_dir).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(self, name: str, state: Any) -> Path:
+        path = self.dir / name
+        tmp = self.dir / f".{name}.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        state = jax.device_get(state)
+        self._ckptr.save(tmp, state)
+        self._ckptr.wait_until_finished()
+        if path.exists():
+            shutil.rmtree(path)
+        tmp.rename(path)
+        return path
+
+    def restore(self, name: str, target: Optional[Any] = None) -> Any:
+        path = self.dir / name
+        if not path.exists():
+            raise FileNotFoundError(path)
+        if target is not None:
+            target = jax.device_get(target)
+            return self._ckptr.restore(path, target)
+        return self._ckptr.restore(path)
+
+    def exists(self, name: str) -> bool:
+        return (self.dir / name).exists()
+
+    def close(self):
+        self._ckptr.close()
+
+
+def _flatten_params(params: Dict) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(getattr(p, "key", str(getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def auto_detect_vae_config(params: Dict) -> Dict[str, Any]:
+    """Recover VAE architecture from a params pytree.
+
+    Returns {in_channels, enc_channels, dec_channels, latent_dim, norm_type,
+    output_image_size, topology} (reference checkpoint_utils.py:11-41
+    equivalents; the 3-channel -> 32px rule is preserved).
+    """
+    flat = _flatten_params(params)
+    enc_convs = sorted(k for k in flat
+                       if k.startswith("encoder/Conv_") and k.endswith("kernel"))
+    if not enc_convs:
+        raise ValueError("not a VAE params pytree: no encoder convs found")
+    enc_channels = [int(flat[k].shape[-1]) for k in enc_convs]
+    in_channels = int(flat[enc_convs[0]].shape[-2])
+
+    norm_type = "none"
+    if any("BatchNorm" in k for k in flat):
+        norm_type = "batch"
+    elif any("GroupNorm" in k for k in flat):
+        norm_type = "group"
+
+    head_mu = [k for k in flat if "encoder/head_mu" in k and k.endswith("kernel")]
+    if not head_mu:
+        raise ValueError("no head_mu in params")
+    mu_kernel = flat[head_mu[0]]
+    topology = "spatial" if mu_kernel.ndim == 4 else "flat"
+    latent_dim = int(mu_kernel.shape[-1])
+
+    dec_keys = sorted(k for k in flat if k.startswith("decoder/") and k.endswith("kernel"))
+    dec_channels = []
+    for k in dec_keys:
+        if "conv_in" in k or "fc_in" in k:
+            dec_channels.append(int(flat[k].shape[-1]) if "conv_in" in k
+                                else int(flat[k].shape[-1]) // 16)
+        elif "ConvTranspose" in k:
+            dec_channels.append(int(flat[k].shape[-1]))
+    dec_channels = dec_channels or list(reversed(enc_channels))
+
+    return {
+        "in_channels": in_channels,
+        "enc_channels": tuple(enc_channels),
+        "dec_channels": tuple(dec_channels[:len(enc_channels)]),
+        "latent_dim": latent_dim,
+        "norm_type": norm_type,
+        "output_image_size": 32 if in_channels == 3 else 28,
+        "topology": topology,
+    }
+
+
+def load_vae_from_checkpoint(ckpt_dir: str | Path, name: str = "best",
+                             config: Optional[Dict[str, Any]] = None,
+                             recon_loss: str = "mse",
+                             mse_use_sigmoid: bool = True):
+    """Rebuild (model, variables) from a checkpoint, auto-detecting the
+    architecture when no config is given (reference
+    checkpoint_utils.py:56-119)."""
+    from ..models import VAE
+
+    ckptr = Checkpointer(ckpt_dir)
+    state = ckptr.restore(name)
+    variables = {"params": state["params"]}
+    if state.get("batch_stats"):
+        variables["batch_stats"] = state["batch_stats"]
+    if config is None:
+        config = auto_detect_vae_config(state["params"])
+    else:
+        config = dict(config)
+    config.setdefault("recon_loss", recon_loss)
+    config.setdefault("mse_use_sigmoid", mse_use_sigmoid)
+    model = VAE(**config)
+    return model, variables
