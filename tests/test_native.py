@@ -1,0 +1,63 @@
+"""Native C++ host library vs scipy/sklearn oracles."""
+import numpy as np
+import pytest
+from scipy.sparse.csgraph import connected_components as sp_cc, dijkstra
+
+native = pytest.importorskip("vqvae_tpu.native")
+
+if not native.available():
+    pytest.skip("g++ toolchain unavailable", allow_module_level=True)
+
+
+def test_dijkstra_matches_scipy(random_latents):
+    from vqvae_tpu.ops import build_knn_graph
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    sources = np.asarray([0, 13, 77, 150], np.int32)
+    ours = native.dijkstra_multi_source(W, sources)
+    ref = dijkstra(W, directed=False, indices=sources)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_dijkstra_disconnected(disconnected_two_lines):
+    d = native.dijkstra_multi_source(disconnected_two_lines, [0])
+    assert np.isinf(d[0, 3]) and np.isinf(d[0, 4])
+    np.testing.assert_allclose(d[0, :3], [0, 1, 2], atol=1e-6)
+
+
+def test_negative_weight_raises(line_graph):
+    W = line_graph.copy()
+    W.data[0] = -1.0
+    with pytest.raises(ValueError):
+        native.dijkstra_multi_source(W, [0])
+
+
+def test_connected_components(disconnected_two_lines):
+    n, labels = native.connected_components(disconnected_two_lines)
+    n_ref, ref = sp_cc(disconnected_two_lines, directed=False)
+    assert n == n_ref
+    # our labels are min-node-index canonical
+    assert labels.tolist() == [0, 0, 0, 3, 3]
+
+
+def test_knn_matches_sklearn(random_latents):
+    from sklearn.neighbors import NearestNeighbors
+
+    k = 6
+    nn = NearestNeighbors(n_neighbors=k).fit(random_latents)
+    ref_d, ref_i = nn.kneighbors(random_latents)
+    d, i = native.knn_exact(random_latents, k)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-4, atol=1e-5)
+    overlap = np.mean([len(set(i[r]) & set(ref_i[r])) / k
+                       for r in range(len(random_latents))])
+    assert overlap > 0.999
+
+
+def test_threaded_multi_source_consistency(random_latents):
+    from vqvae_tpu.ops import build_knn_graph
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    sources = np.arange(32, dtype=np.int32)
+    a = native.dijkstra_multi_source(W, sources)
+    b = np.stack([native.dijkstra_multi_source(W, [s])[0] for s in sources])
+    np.testing.assert_allclose(a, b)

@@ -1,0 +1,117 @@
+"""ctypes bindings to the native host graph library (graph_core.cpp).
+
+The shared library is built lazily with g++ on first use and cached next
+to the source (rebuilt when the source is newer). All entry points accept
+numpy arrays and mirror the scipy/sklearn call shapes they replace, so
+they can be swapped in as drop-in host backends:
+
+- ``dijkstra_multi_source(W_csr, sources)`` -> (K, N) float32
+- ``connected_components(W_csr)`` -> (n_components, labels)
+- ``knn_exact(z, k)`` -> (dists (N,k), idx (N,k)) with self-matches
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "graph_core.cpp"
+_LIB = Path(__file__).parent / "libgraph_core.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> None:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", "-pthread", str(_SRC), "-o", str(_LIB)]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        _build()
+    lib = ctypes.CDLL(str(_LIB))
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.vq_dijkstra_multi_source.argtypes = [
+        i64p, i32p, f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p,
+        ctypes.c_int]
+    lib.vq_dijkstra_multi_source.restype = None
+    lib.vq_connected_components.argtypes = [i64p, i32p, ctypes.c_int64, i32p]
+    lib.vq_connected_components.restype = ctypes.c_int64
+    lib.vq_knn_exact.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64, f32p, i64p, ctypes.c_int]
+    lib.vq_knn_exact.restype = None
+    _lib = lib
+    return lib
+
+
+def _threads() -> int:
+    return int(os.environ.get("VQVAE_TPU_NATIVE_THREADS",
+                              os.cpu_count() or 1))
+
+
+def _csr_parts(W) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    W = W.tocsr()
+    indptr = np.ascontiguousarray(W.indptr, np.int64)
+    indices = np.ascontiguousarray(W.indices, np.int32)
+    data = np.ascontiguousarray(W.data, np.float32)
+    return indptr, indices, data, W.shape[0]
+
+
+def _ptr(a: np.ndarray, typ):
+    return a.ctypes.data_as(ctypes.POINTER(typ))
+
+
+def dijkstra_multi_source(W, sources) -> np.ndarray:
+    """(K, N) float32 shortest-path distances, threaded over sources."""
+    lib = _load()
+    indptr, indices, data, n = _csr_parts(W)
+    if data.size and (data < 0).any():
+        raise ValueError("Negative weights")
+    sources = np.ascontiguousarray(sources, np.int32)
+    out = np.empty((len(sources), n), np.float32)
+    lib.vq_dijkstra_multi_source(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(data, ctypes.c_float), n, _ptr(sources, ctypes.c_int32),
+        len(sources), _ptr(out, ctypes.c_float), _threads())
+    return out
+
+
+def connected_components(W) -> Tuple[int, np.ndarray]:
+    lib = _load()
+    indptr, indices, _, n = _csr_parts(W)
+    labels = np.empty(n, np.int32)
+    n_comp = lib.vq_connected_components(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32), n,
+        _ptr(labels, ctypes.c_int32))
+    return int(n_comp), labels
+
+
+def knn_exact(z: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    z = np.ascontiguousarray(z, np.float32)
+    n, d = z.shape
+    dists = np.empty((n, k), np.float32)
+    idx = np.empty((n, k), np.int64)
+    lib.vq_knn_exact(_ptr(z, ctypes.c_float), n, d, k,
+                     _ptr(dists, ctypes.c_float), _ptr(idx, ctypes.c_int64),
+                     _threads())
+    return dists, idx
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError):
+        return False

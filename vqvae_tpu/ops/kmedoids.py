@@ -1,4 +1,4 @@
-"""Graph-native geodesic K-medoids on TPU.
+"""Graph-native geodesic K-medoids on TPU (with native-host fallback).
 
 Mirrors the reference algorithm (reference src/geo/kmeans_optimized.py):
 k-means++ initialization over graph distances, one-shot assignment via a
@@ -20,6 +20,11 @@ Two initializations:
   (QE parity within tolerance), not bitwise: seeded-determinism holds
   within this framework.
 
+Backends (ops.backend): shortest paths run device-side (source-batched
+Bellman-Ford over the mesh) at scale, or through the native C++ Dijkstra
+(vqvae_tpu.native) when the graph is small; ``backend="auto"`` picks by
+estimated work.
+
 Unlike the reference (which runs a *third* full multi-source pass just to
 compute QE, kmeans_optimized.py:125-129), assignment and QE come from the
 same distance matrix.
@@ -28,19 +33,28 @@ from __future__ import annotations
 
 from typing import List, Tuple, Union
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-from .shortest_paths import EdgeList, multi_source_shortest_paths
+from .backend import HOST_WORK_THRESHOLD, _native_ok, multi_source_distances
+from .shortest_paths import EdgeList
 
 GraphLike = Union["scipy.sparse.spmatrix", EdgeList]  # noqa: F821
 
 
-def _as_edges(W: GraphLike) -> EdgeList:
+def _resolve(W: GraphLike, K: int, backend: str) -> Tuple[GraphLike, str, int]:
+    """Pick the backend once and pre-convert the graph for it, so repeated
+    shortest-path calls don't re-convert."""
+    from scipy import sparse
+
     if isinstance(W, EdgeList):
-        return W
-    return EdgeList.from_csr(W)
+        return W, "device", W.n_nodes
+    n = W.shape[0]
+    if backend == "auto":
+        work = float(W.nnz) * max(K, 1)
+        backend = "host" if work < HOST_WORK_THRESHOLD and _native_ok() else "device"
+    if backend == "device":
+        return EdgeList.from_csr(W), "device", n
+    return W.tocsr(), backend, n
 
 
 def _safe_sq_probs(d_min: np.ndarray, centers: List[int]) -> np.ndarray:
@@ -57,17 +71,17 @@ def _safe_sq_probs(d_min: np.ndarray, centers: List[int]) -> np.ndarray:
     return probs
 
 
-def kpp_initialization(W: GraphLike, K: int, seed: int = 42) -> List[int]:
+def kpp_initialization(W: GraphLike, K: int, seed: int = 42,
+                       backend: str = "auto") -> List[int]:
     """Exact sequential graph k-means++ (reference semantics)."""
-    edges = _as_edges(W)
-    n = edges.n_nodes
+    graph, backend, n = _resolve(W, 1, backend)
     rng = np.random.default_rng(seed)
     centers = [int(rng.integers(0, n))]
     d_min = np.full(n, np.inf, dtype=np.float32)
 
     for _ in range(1, K):
-        d_new = np.asarray(
-            multi_source_shortest_paths(edges, np.asarray([centers[-1]]))[:, 0])
+        d_new = multi_source_distances(graph, np.asarray([centers[-1]]),
+                                       backend)[:, 0]
         d_min = np.minimum(d_min, d_new)
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
@@ -82,15 +96,11 @@ def kpp_initialization(W: GraphLike, K: int, seed: int = 42) -> List[int]:
     return centers
 
 
-def kpp_parallel_initialization(
-    W: GraphLike,
-    K: int,
-    seed: int = 42,
-    rounds: int = 8,
-) -> List[int]:
+def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
+                                rounds: int = 8,
+                                backend: str = "auto") -> List[int]:
     """Batched k-means|| initialization: R multi-source passes total."""
-    edges = _as_edges(W)
-    n = edges.n_nodes
+    graph, backend, n = _resolve(W, max(1, (K - 1) // max(rounds, 1)), backend)
     rng = np.random.default_rng(seed)
     centers: List[int] = [int(rng.integers(0, n))]
     d_min = np.full(n, np.inf, dtype=np.float32)
@@ -100,10 +110,11 @@ def kpp_parallel_initialization(
 
     per_round = int(np.ceil((K - 1) / rounds))
     new_centers = [centers[0]]
-    for r in range(rounds):
+    for _ in range(rounds):
         # relax from the centers added last round (one batched pass)
-        d_new = np.asarray(multi_source_shortest_paths(
-            edges, np.asarray(new_centers, np.int64)))
+        d_new = multi_source_distances(graph,
+                                       np.asarray(new_centers, np.int64),
+                                       backend)
         d_min = np.minimum(d_min, d_new.min(axis=1))
 
         remaining = K - len(centers)
@@ -128,16 +139,16 @@ def kpp_parallel_initialization(
     return centers[:K]
 
 
-def assign_points_to_medoids(
-    W: GraphLike, medoids: np.ndarray
-) -> Tuple[np.ndarray, np.ndarray]:
+def assign_points_to_medoids(W: GraphLike, medoids: np.ndarray,
+                             backend: str = "auto"
+                             ) -> Tuple[np.ndarray, np.ndarray]:
     """One multi-source pass; returns (assign (N,), dist_to_assigned (N,))."""
-    edges = _as_edges(W)
     medoids = np.asarray(medoids, np.int64)
-    d = multi_source_shortest_paths(edges, medoids)  # (N, K)
-    assign = jnp.argmin(d, axis=1)
-    dist = jnp.min(d, axis=1)
-    return np.asarray(assign, dtype=np.int64), np.asarray(dist)
+    graph, backend, _ = _resolve(W, len(medoids), backend)
+    d = multi_source_distances(graph, medoids, backend)  # (N, K)
+    assign = d.argmin(axis=1)
+    dist = d[np.arange(d.shape[0]), assign]
+    return assign.astype(np.int64), dist
 
 
 def compute_quantization_error(dist_to_assigned: np.ndarray) -> float:
@@ -154,6 +165,7 @@ def fit_kmedoids(
     init: str = "kpp",
     seed: int = 42,
     kpp_rounds: int = 8,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Graph K-medoids: init + one-shot assignment + QE.
 
@@ -161,13 +173,15 @@ def fit_kmedoids(
     or "random". Matches the reference control flow (fit_kmedoids_optimized,
     kmeans_optimized.py:141-183), which performs no Lloyd refinement.
     """
-    edges = _as_edges(W)
-    n = edges.n_nodes
+    graph, resolved, n = _resolve(W, K, backend)
     if init == "kpp":
-        medoids = np.asarray(kpp_initialization(edges, K, seed=seed), dtype=np.int64)
+        medoids = np.asarray(kpp_initialization(graph, K, seed=seed,
+                                                backend=resolved),
+                             dtype=np.int64)
     elif init == "kpp_parallel":
         medoids = np.asarray(
-            kpp_parallel_initialization(edges, K, seed=seed, rounds=kpp_rounds),
+            kpp_parallel_initialization(graph, K, seed=seed,
+                                        rounds=kpp_rounds, backend=resolved),
             dtype=np.int64)
     elif init == "random":
         rng = np.random.default_rng(seed)
@@ -175,7 +189,7 @@ def fit_kmedoids(
     else:
         raise ValueError("init must be 'kpp', 'kpp_parallel' or 'random'")
 
-    assign, dist = assign_points_to_medoids(edges, medoids)
+    assign, dist = assign_points_to_medoids(graph, medoids, backend=resolved)
     qe = compute_quantization_error(dist)
     return medoids, assign, qe
 

@@ -1,0 +1,184 @@
+"""Transformer-prior training engine.
+
+Parity with the reference loop (reference src/scripts/train_transformer.py:
+16-87): AdamW + per-epoch cosine schedule, next-token cross entropy,
+best-on-val / latest checkpoints. Differences by design:
+
+- one jitted data-parallel train step over the mesh (batch-axis sharding),
+- ``label_smoothing`` is actually consumed (the reference declares it in
+  config but never reads it — SURVEY.md §5 "known dead knob"),
+- checkpoints carry the full train state (the reference saves a raw
+  state_dict asymmetric with its VAE checkpoints; here all stages share
+  one Orbax format).
+
+Sampling (temperature + top-k, class-conditional) lives here too, using a
+KV cache over a ``lax.scan`` — the reference re-runs the full prefix per
+step (generate_samples.py:23-31).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.transformer import Transformer, cross_entropy_loss
+from ..parallel import get_mesh, shard_batch, replicated_sharding
+from ..train.state import TrainState, make_optimizer
+from ..utils.checkpoint import Checkpointer
+
+
+class TransformerEngine:
+    def __init__(
+        self,
+        model: Transformer,
+        lr: float,
+        weight_decay: float = 0.0,
+        grad_clip_max_norm: float = 0.0,
+        cosine_t_max: Optional[int] = None,
+        steps_per_epoch: int = 1,
+        label_smoothing: float = 0.0,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+        self.label_smoothing = float(label_smoothing)
+        self.tx = make_optimizer(lr, weight_decay, "adamw", grad_clip_max_norm,
+                                 cosine_t_max, steps_per_epoch)
+        self._train_step = self._build_step(train=True)
+        self._eval_step = self._build_step(train=False)
+
+    def init_state(self, seq_len: int, batch_size: int = 2) -> TrainState:
+        rng = jax.random.key(self.seed)
+        x = jnp.zeros((batch_size, seq_len), jnp.int32)
+        y = jnp.zeros((batch_size,), jnp.int32) if self.model.num_classes > 0 else None
+        variables = self.model.init({"params": rng}, x, y=y)
+        state = TrainState.create(apply_fn=self.model.apply,
+                                  params=variables["params"], tx=self.tx,
+                                  batch_stats={})
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def _build_step(self, train: bool):
+        model = self.model
+        ls = self.label_smoothing
+
+        @jax.jit
+        def step(state: TrainState, x, targets, labels, mask, rng):
+            def loss_fn(params):
+                logits = model.apply(
+                    {"params": params}, x,
+                    y=labels if model.num_classes > 0 else None,
+                    train=train,
+                    rngs={"dropout": rng} if train else None)
+                return cross_entropy_loss(logits, targets, mask=mask,
+                                          label_smoothing=ls)
+
+            if train:
+                loss, grads = jax.value_and_grad(loss_fn)(state.params)
+                state = state.apply_gradients(grads=grads)
+            else:
+                loss = loss_fn(state.params)
+            return state, loss
+
+        return step
+
+    def run_epoch(self, state, loader, train: bool, epoch: int, rng
+                  ) -> Tuple[TrainState, float]:
+        total, n = 0.0, 0
+        for i, (x, y, lab, mask) in enumerate(loader.epoch(epoch)):
+            batch = shard_batch(self.mesh, (jnp.asarray(x), jnp.asarray(y),
+                                            jnp.asarray(lab), jnp.asarray(mask)))
+            state, loss = (self._train_step if train else self._eval_step)(
+                state, *batch, jax.random.fold_in(rng, i))
+            total += float(loss)
+            n += 1
+        return state, total / max(n, 1)
+
+    def train(
+        self,
+        state: TrainState,
+        train_loader,
+        val_loader,
+        num_epochs: int,
+        checkpoint_dir: Optional[Path] = None,
+        logger=None,
+    ) -> TrainState:
+        ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
+        rng = jax.random.key(self.seed + 1)
+        best_val = float("inf")
+        for epoch in range(1, num_epochs + 1):
+            ep_rng = jax.random.fold_in(rng, epoch)
+            state, tr_loss = self.run_epoch(state, train_loader, True, epoch, ep_rng)
+            state, va_loss = self.run_epoch(state, val_loader, False, epoch, ep_rng)
+            print(f"[transformer] epoch {epoch}/{num_epochs} "
+                  f"train={tr_loss:.4f} val={va_loss:.4f}")
+            if logger is not None:
+                logger.log_metrics({"train_loss": tr_loss, "val_loss": va_loss},
+                                   step=epoch)
+            if va_loss < best_val:
+                best_val = va_loss
+                if ckptr:
+                    ckptr.save("best", {"params": state.params,
+                                        "opt_state": state.opt_state,
+                                        "step": int(state.step),
+                                        "epoch": epoch})
+            if ckptr:
+                ckptr.save("latest", {"params": state.params,
+                                      "opt_state": state.opt_state,
+                                      "step": int(state.step),
+                                      "epoch": epoch})
+        return state
+
+
+def sample_autoregressive(
+    model: Transformer,
+    params,
+    first_tokens: jax.Array,  # (B, T0) prompt
+    steps: int,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    labels: Optional[jax.Array] = None,
+) -> jax.Array:
+    """KV-cached AR sampling with temperature + top-k filtering
+    (reference generate_samples.py:12-31 semantics, minus the O(T^2)
+    full-prefix recompute)."""
+    b, t0 = first_tokens.shape
+
+    cache = model.init_cache(b)
+    variables = {"params": params, "cache": cache}
+
+    # prime the cache with the prompt, one token at a time
+    def prime(carry, i):
+        cache, last_logits = carry
+        tok = jax.lax.dynamic_slice_in_dim(first_tokens, i, 1, axis=1)
+        logits, mut = model.apply({"params": params, "cache": cache}, tok,
+                                  y=labels, decode=True, decode_index=i,
+                                  mutable=["cache"])
+        return (mut["cache"], logits[:, 0, :]), None
+
+    (cache, last_logits), _ = jax.lax.scan(
+        prime, (cache, jnp.zeros((b, model.num_tokens), jnp.float32)),
+        jnp.arange(t0))
+
+    def step(carry, i):
+        cache, logits, rng = carry
+        rng, sub = jax.random.split(rng)
+        scaled = logits / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(scaled, top_k)[0][:, -1]
+            scaled = jnp.where(scaled < kth[:, None], -jnp.inf, scaled)
+        tok = jax.random.categorical(sub, scaled)[:, None]  # (B, 1)
+        new_logits, mut = model.apply({"params": params, "cache": cache}, tok,
+                                      y=labels, decode=True,
+                                      decode_index=t0 + i,
+                                      mutable=["cache"])
+        return (mut["cache"], new_logits[:, 0, :], rng), tok[:, 0]
+
+    (_, _, _), toks = jax.lax.scan(step, (cache, last_logits, rng),
+                                   jnp.arange(steps))
+    return jnp.concatenate([first_tokens, toks.T], axis=1)  # (B, T0+steps)

@@ -1,0 +1,305 @@
+"""Unified VAE training engine (flat and spatial topologies).
+
+Replaces the reference's duplicated engines (reference
+src/training/engine.py + spatial_engine.py are ~95% identical; SURVEY.md
+§7 explicitly calls for one engine parameterized by latent topology).
+
+TPU-first design:
+- one jitted, donated train step (forward + ELBO + grad + optimizer +
+  batch-stats update) compiled once for the whole run; padded batches keep
+  shapes static,
+- data parallelism via a `jax.sharding.Mesh`: batches are device_put with
+  batch-axis sharding, params replicated — XLA inserts the grad psum,
+- epoch-level beta (KL) annealing and per-step capacity annealing are
+  traced scalars (no recompilation),
+- val metrics (masked PSNR / global-stats SSIM) computed on device,
+- Orbax best/latest checkpoints carry the full train state (the reference
+  never restores optimizer state; we do),
+- latent extraction is a second jitted sweep, saved as latents.npz.
+
+Matches the reference training semantics: linear beta warmup over
+``kl_anneal_epochs`` (engine.py:107), early stop on val loss
+(engine.py:138-148), best-on-val / latest checkpoints, per-epoch metric
+names (train/val loss, recon, kl, beta, val_psnr, val_ssim,
+*_recon_per_pixel — engine.py:120-135), and a recon grid image.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..eval.metrics import psnr, ssim_simple
+from ..models.vae import VAE, elbo_loss, reparameterize
+from ..parallel import get_mesh, shard_batch, replicated_sharding
+from ..train.state import TrainState, make_optimizer
+from ..utils.checkpoint import Checkpointer
+from ..utils.images import save_image_grid
+from ..utils.latents import save_latents
+
+
+class VAEEngine:
+    def __init__(
+        self,
+        model: VAE,
+        lr: float,
+        weight_decay: float = 0.0,
+        optimizer: str = "adamw",
+        grad_clip_max_norm: float = 0.0,
+        cosine_t_max: Optional[int] = None,
+        steps_per_epoch: int = 1,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+        self.tx = make_optimizer(lr, weight_decay, optimizer,
+                                 grad_clip_max_norm, cosine_t_max,
+                                 steps_per_epoch)
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._encode_step = self._build_encode_step()
+
+    # -- state ---------------------------------------------------------------
+    def init_state(self, sample_images: np.ndarray) -> TrainState:
+        rng = jax.random.key(self.seed)
+        variables = self.model.init({"params": rng},
+                                    jnp.asarray(sample_images[:1]), rng, True)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState.create(apply_fn=self.model.apply, params=params,
+                                  tx=self.tx, batch_stats=batch_stats)
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    # -- jitted steps ----------------------------------------------------------
+    def _variables(self, params, batch_stats):
+        v = {"params": params}
+        if batch_stats:
+            v["batch_stats"] = batch_stats
+        return v
+
+    def _build_train_step(self):
+        model = self.model
+
+        # NOTE: no buffer donation — `best_state` keeps a live reference to
+        # an earlier state's arrays for the post-training latent dump.
+        @jax.jit
+        def train_step(state: TrainState, images, mask, rng, beta):
+            rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                variables = self._variables(params, state.batch_stats)
+                if state.batch_stats:
+                    (x_logits, mu, logvar, _), new_vars = model.apply(
+                        variables, images, rng, True, mutable=["batch_stats"])
+                else:
+                    x_logits, mu, logvar, _ = model.apply(variables, images,
+                                                          rng, True)
+                    new_vars = {}
+                total, recon, kl = elbo_loss(
+                    images, x_logits, mu, logvar,
+                    recon_loss=model.recon_loss,
+                    mse_use_sigmoid=model.mse_use_sigmoid,
+                    topology=model.topology, beta=beta, mask=mask,
+                    free_bits=model.free_bits,
+                    capacity_max=model.capacity_max,
+                    capacity_anneal_steps=model.capacity_anneal_steps,
+                    capacity_mode=model.capacity_mode,
+                    step=state.step)
+                return total, (recon, kl, new_vars.get("batch_stats", {}))
+
+            (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            if new_bs:
+                state = state.replace(batch_stats=new_bs)
+            return state, {"loss": total, "recon": recon, "kl": kl}
+
+        return train_step
+
+    def _build_eval_step(self):
+        model = self.model
+
+        @jax.jit
+        def eval_step(state: TrainState, images, mask, rng, beta):
+            variables = self._variables(state.params, state.batch_stats)
+            x_logits, mu, logvar, _ = model.apply(variables, images, rng, False)
+            total, recon, kl = elbo_loss(
+                images, x_logits, mu, logvar,
+                recon_loss=model.recon_loss,
+                mse_use_sigmoid=model.mse_use_sigmoid,
+                topology=model.topology, beta=beta, mask=mask,
+                free_bits=model.free_bits,
+                capacity_max=model.capacity_max,
+                capacity_anneal_steps=model.capacity_anneal_steps,
+                capacity_mode=model.capacity_mode,
+                step=state.step)
+            x_rec = jax.nn.sigmoid(x_logits) if model.apply_sigmoid else x_logits
+            x_rec = jnp.clip(x_rec, 0.0, 1.0)
+            return {
+                "loss": total, "recon": recon, "kl": kl,
+                "psnr": psnr(x_rec, images, mask=mask),
+                "ssim": ssim_simple(x_rec, images, mask=mask),
+                "n": mask.sum(),
+            }
+
+        return eval_step
+
+    def _build_encode_step(self):
+        model = self.model
+
+        @jax.jit
+        def encode_step(state: TrainState, images, rng):
+            variables = self._variables(state.params, state.batch_stats)
+            mu, logvar = model.apply(variables, images, False,
+                                     method=model.encode)
+            z = reparameterize(rng, mu, logvar)
+            return z, mu, logvar
+
+        return encode_step
+
+    # -- loops ----------------------------------------------------------------
+    def run_epoch(self, state, loader: DataLoader, train: bool, epoch: int,
+                  beta: float, rng) -> Tuple[TrainState, Dict[str, float]]:
+        sums: Dict[str, float] = {}
+        n_batches = 0
+        psnr_sum = ssim_sum = n_examples = 0.0
+        for images, _, mask in loader.epoch(epoch):
+            batch = shard_batch(self.mesh, (jnp.asarray(images), jnp.asarray(mask)))
+            images_d, mask_d = batch
+            if train:
+                state, m = self._train_step(state, images_d, mask_d, rng,
+                                            jnp.float32(beta))
+            else:
+                m = self._eval_step(state, images_d, mask_d,
+                                    jax.random.fold_in(rng, n_batches),
+                                    jnp.float32(beta))
+            n_batches += 1
+            for k in ("loss", "recon", "kl"):
+                sums[k] = sums.get(k, 0.0) + float(m[k])
+            if not train:
+                nb = float(m["n"])
+                psnr_sum += float(m["psnr"]) * nb
+                ssim_sum += float(m["ssim"]) * nb
+                n_examples += nb
+        out = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        if not train and n_examples > 0:
+            out["psnr"] = psnr_sum / n_examples
+            out["ssim"] = ssim_sum / n_examples
+        return state, out
+
+    def train(
+        self,
+        state: TrainState,
+        train_loader: DataLoader,
+        val_loader: DataLoader,
+        num_epochs: int,
+        early_stop: int = 0,
+        checkpoint_dir: Optional[Path] = None,
+        logger=None,
+        output_dir: Optional[Path] = None,
+        save_latents_flag: bool = True,
+        kl_anneal_epochs: int = 0,
+        beta: float = 1.0,
+    ) -> TrainState:
+        ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
+        if output_dir is not None:
+            Path(output_dir).mkdir(parents=True, exist_ok=True)
+        rng = jax.random.key(self.seed + 1)
+        best_val = float("inf")
+        no_improve = 0
+        num_pixels = int(np.prod(train_loader.split.image_shape))
+        best_state = state
+
+        for epoch in range(1, num_epochs + 1):
+            cur_beta = beta * min(1.0, epoch / kl_anneal_epochs) if kl_anneal_epochs > 0 else beta
+            ep_rng = jax.random.fold_in(rng, epoch)
+            state, tr = self.run_epoch(state, train_loader, True, epoch, cur_beta, ep_rng)
+            state, va = self.run_epoch(state, val_loader, False, epoch, cur_beta, ep_rng)
+
+            if logger is not None:
+                logger.log_metrics({
+                    "train_loss": tr["loss"], "train_recon": tr["recon"],
+                    "train_kl": tr["kl"], "val_loss": va["loss"],
+                    "val_recon": va["recon"], "val_kl": va["kl"],
+                    "beta": cur_beta,
+                    "val_psnr": va.get("psnr", 0.0), "val_ssim": va.get("ssim", 0.0),
+                    "train_recon_per_pixel": tr["recon"] / num_pixels,
+                    "val_recon_per_pixel": va["recon"] / num_pixels,
+                }, step=epoch)
+            print(f"[vae] epoch {epoch}/{num_epochs} beta={cur_beta:.4f} "
+                  f"train={tr['loss']:.4f} val={va['loss']:.4f} "
+                  f"psnr={va.get('psnr', 0.0):.2f} ssim={va.get('ssim', 0.0):.4f}")
+
+            if va["loss"] < best_val:
+                best_val = va["loss"]
+                no_improve = 0
+                best_state = state
+                if ckptr:
+                    ckptr.save("best", {"params": state.params,
+                                        "batch_stats": state.batch_stats,
+                                        "opt_state": state.opt_state,
+                                        "step": int(state.step),
+                                        "epoch": epoch})
+            else:
+                no_improve += 1
+                if early_stop and no_improve >= early_stop:
+                    print(f"[vae] early stopping at epoch {epoch}")
+                    break
+
+        if ckptr:
+            ckptr.save("latest", {"params": state.params,
+                                  "batch_stats": state.batch_stats,
+                                  "opt_state": state.opt_state,
+                                  "step": int(state.step),
+                                  "epoch": num_epochs})
+
+        if save_latents_flag and output_dir is not None:
+            self.dump_latents(best_state, train_loader, Path(output_dir) / "latents_train")
+            self.dump_latents(best_state, val_loader, Path(output_dir) / "latents_val")
+        if output_dir is not None:
+            self._save_recon_grid(best_state, val_loader, Path(output_dir), logger)
+        return state
+
+    # -- artifact dumps --------------------------------------------------------
+    def dump_latents(self, state, loader: DataLoader, out_dir: Path) -> Path:
+        zs, mus, lvs, ys = [], [], [], []
+        rng = jax.random.key(self.seed + 2)
+        for i, (images, labels, mask) in enumerate(loader.epoch(0) if not loader.shuffle
+                                                   else _unshuffled(loader)):
+            z, mu, lv = self._encode_step(state, jnp.asarray(images),
+                                          jax.random.fold_in(rng, i))
+            valid = mask > 0
+            zs.append(np.asarray(z)[valid])
+            mus.append(np.asarray(mu)[valid])
+            lvs.append(np.asarray(lv)[valid])
+            ys.append(labels[valid])
+        return save_latents(out_dir, np.concatenate(zs), np.concatenate(mus),
+                            np.concatenate(lvs), np.concatenate(ys))
+
+    def _save_recon_grid(self, state, val_loader: DataLoader, output_dir: Path,
+                         logger=None) -> None:
+        images, _, _ = next(iter(val_loader.epoch(0)))
+        variables = self._variables(state.params, state.batch_stats)
+        x_logits, _, _, _ = self.model.apply(
+            variables, jnp.asarray(images), jax.random.key(0), False)
+        x_rec = jax.nn.sigmoid(x_logits) if self.model.apply_sigmoid else x_logits
+        x = val_loader.split.denormalize(images)
+        x_rec = val_loader.split.denormalize(np.asarray(x_rec))
+        grid = np.concatenate([np.clip(x[:8], 0, 1), np.clip(x_rec[:8], 0, 1)])
+        path = save_image_grid(grid, output_dir / "recon_grid.png", nrow=8)
+        if logger is not None:
+            logger.log_artifact(path)
+
+
+def _unshuffled(loader: DataLoader):
+    """Deterministic pass over a shuffled loader's data (for latent dumps —
+    latents must align with dataset order for labels/codes downstream)."""
+    tmp = DataLoader(loader.split, loader.batch_size, shuffle=False,
+                     augment=False, seed=0)
+    return tmp.epoch(0)

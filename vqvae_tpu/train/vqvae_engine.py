@@ -1,0 +1,202 @@
+"""End-to-end EMA VQ-VAE baseline trainer.
+
+Parity with the reference baseline loop (reference baseline VQVAE/
+vqvae_cifar10_clean/train.py:27-227): images in [-1, 1], L1 reconstruction
++ beta-commitment loss, EMA codebook updates, per-epoch metrics
+(loss/rec/vq/q_mse/perplexity/usage/dead + embed norms), a rolling latent
+sample bank feeding end-of-epoch dead-code reseeding, NaN-guarded steps,
+and best/last checkpoints.
+
+TPU redesign: the whole step — forward, straight-through quantization,
+grads, Adam update AND the EMA codebook update — is one jitted function
+with the codebook as functional state (models/vqvae_baseline.py). Mixed
+precision is bf16 compute by default (the reference's AMP+GradScaler has
+no TPU analog; bf16 needs no loss scaling). The NaN guard becomes a
+``jnp.where`` on the loss (skip-update semantics without host sync).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vqvae_baseline import (
+    VQVAE, CodebookState, quantize, ema_update, straight_through,
+    commitment_loss, reseed_dead_codes,
+)
+from ..parallel import get_mesh, shard_batch, replicated_sharding
+from ..train.state import TrainState, make_optimizer
+from ..utils.checkpoint import Checkpointer
+from ..utils.images import save_image_grid
+
+
+class VQVAEEngine:
+    def __init__(
+        self,
+        model: VQVAE,
+        n_codes: int = 512,
+        beta: float = 0.25,
+        ema_decay: float = 0.99,
+        ema_eps: float = 1e-5,
+        lr: float = 2e-4,
+        weight_decay: float = 0.0,
+        grad_clip: float = 1.0,
+        bank_size: int = 8192,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.n_codes = n_codes
+        self.beta = beta
+        self.ema_decay = ema_decay
+        self.ema_eps = ema_eps
+        self.bank_size = bank_size
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.seed = seed
+        self.tx = make_optimizer(lr, weight_decay, "adam", grad_clip)
+        self._train_step = self._build_step(train=True)
+        self._eval_step = self._build_step(train=False)
+
+    def init_state(self, image_shape) -> Tuple[TrainState, CodebookState, jax.Array]:
+        rng = jax.random.key(self.seed)
+        k1, k2 = jax.random.split(rng)
+        x = jnp.zeros((1, *image_shape), jnp.float32)
+        variables = self.model.init({"params": k1}, x)
+        state = TrainState.create(apply_fn=self.model.apply,
+                                  params=variables["params"], tx=self.tx,
+                                  batch_stats={})
+        cb = CodebookState.create(k2, self.n_codes, self.model.z_channels)
+        bank = jnp.zeros((self.bank_size, self.model.z_channels), jnp.float32)
+        rep = replicated_sharding(self.mesh)
+        return (jax.device_put(state, rep), jax.device_put(cb, rep),
+                jax.device_put(bank, rep))
+
+    def _build_step(self, train: bool):
+        model, beta = self.model, self.beta
+        decay, eps, n_codes = self.ema_decay, self.ema_eps, self.n_codes
+        bank_size = self.bank_size
+
+        @jax.jit
+        def step(state: TrainState, cb: CodebookState, bank, x, mask, rng):
+            def loss_fn(params):
+                z_e = model.apply({"params": params}, x, method=model.encode)
+                z_q, idx = quantize(cb, z_e)
+                z_q_st = straight_through(z_e, z_q)
+                x_rec = model.apply({"params": params}, z_q_st,
+                                    method=model.decode)
+                # masked L1 over valid rows (reference train.py:38)
+                per = jnp.abs(x_rec - x).mean(axis=(1, 2, 3))
+                rec = (per * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+                vq = commitment_loss(z_e, z_q, beta)
+                return rec + vq, (rec, vq, z_e, z_q, idx, x_rec)
+
+            (loss, (rec, vq, z_e, z_q, idx, x_rec)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+
+            # codebook metrics (reference train.py:52-58)
+            q_mse = jnp.mean((z_q - z_e) ** 2)
+            hist = jnp.bincount(idx.reshape(-1), length=n_codes).astype(jnp.float32)
+            usage = (hist > 0).mean()
+            p = hist / jnp.maximum(hist.sum(), 1.0)
+            perplex = jnp.exp(-(p * jnp.log(p + 1e-12)).sum())
+
+            metrics = {"loss": loss, "rec": rec, "vq": vq, "q_mse": q_mse,
+                       "perplex": perplex, "usage": usage, "dead": 1.0 - usage}
+            if not train:
+                return state, cb, bank, metrics
+
+            # NaN/Inf guard: zero the update instead of a host-synced skip
+            finite = jnp.isfinite(loss)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            state = state.apply_gradients(grads=grads)
+
+            cb_new = ema_update(cb, z_e, idx, decay, eps)
+            cb = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), cb_new, cb)
+
+            # rolling latent bank update: take 256 random latents per step
+            flat = z_e.reshape(-1, z_e.shape[-1])
+            take = min(256, flat.shape[0], bank_size)
+            sel = jax.random.choice(rng, flat.shape[0], (take,), replace=False)
+            bank = jnp.roll(bank, -take, axis=0).at[-take:].set(flat[sel])
+            return state, cb, bank, metrics
+
+        return step
+
+    def run_epoch(self, state, cb, bank, loader, train: bool, epoch: int, rng):
+        sums: Dict[str, float] = {}
+        n = 0
+        for i, (images, _, mask) in enumerate(loader.epoch(epoch)):
+            x01 = loader.split.denormalize(images)
+            x = jnp.asarray(x01, jnp.float32) * 2.0 - 1.0  # [-1, 1]
+            x, mask_d = shard_batch(self.mesh, (x, jnp.asarray(mask)))
+            step_fn = self._train_step if train else self._eval_step
+            state, cb, bank, m = step_fn(state, cb, bank, x, mask_d,
+                                         jax.random.fold_in(rng, i))
+            bs = float(mask.sum())
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * bs
+            n += bs
+        return state, cb, bank, {k: v / max(n, 1.0) for k, v in sums.items()}
+
+    def train(
+        self,
+        state, cb, bank,
+        train_loader, val_loader,
+        num_epochs: int,
+        checkpoint_dir: Optional[Path] = None,
+        logger=None,
+        output_dir: Optional[Path] = None,
+        samples_every: int = 1,
+        reseed_min_count: float = 5.0,
+    ):
+        ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
+        rng = jax.random.key(self.seed + 1)
+        best_loss = float("inf")
+        for ep in range(1, num_epochs + 1):
+            ep_rng = jax.random.fold_in(rng, ep)
+            state, cb, bank, tr = self.run_epoch(state, cb, bank, train_loader,
+                                                 True, ep, ep_rng)
+            state, cb, bank, te = self.run_epoch(state, cb, bank, val_loader,
+                                                 False, ep, ep_rng)
+            cb, n_reseeded = reseed_dead_codes(
+                jax.random.fold_in(ep_rng, 999), cb, bank, reseed_min_count)
+            n_reseeded = int(n_reseeded)
+            norms = np.linalg.norm(np.asarray(cb.embed), axis=1)
+            print(f"[vqvae] epoch {ep}/{num_epochs} train={tr['loss']:.4f} "
+                  f"val={te['loss']:.4f} ppl={te['perplex']:.1f} "
+                  f"usage={te['usage']:.2f} reseeded={n_reseeded}")
+            if logger is not None:
+                row = {f"train_{k}": v for k, v in tr.items()}
+                row.update({f"val_{k}": v for k, v in te.items()})
+                row.update({"embed_norm_mean": float(norms.mean()),
+                            "embed_norm_min": float(norms.min()),
+                            "embed_norm_max": float(norms.max()),
+                            "reseeded": n_reseeded})
+                logger.log_metrics(row, step=ep)
+            if output_dir is not None and ep % samples_every == 0:
+                self._save_recons(state, cb, val_loader, Path(output_dir), ep)
+            full = {"params": state.params, "opt_state": state.opt_state,
+                    "codebook": cb._asdict(), "epoch": ep}
+            if ckptr:
+                ckptr.save("latest", full)
+                if te["loss"] < best_loss:
+                    best_loss = te["loss"]
+                    ckptr.save("best", full)
+        return state, cb, bank
+
+    def _save_recons(self, state, cb, loader, outdir: Path, epoch: int):
+        images, _, _ = next(iter(loader.epoch(0)))
+        x01 = loader.split.denormalize(images[:32])
+        x = jnp.asarray(x01, jnp.float32) * 2.0 - 1.0
+        z_e = self.model.apply({"params": state.params}, x,
+                               method=self.model.encode)
+        z_q, _ = quantize(cb, z_e)
+        x_rec = self.model.apply({"params": state.params}, z_q,
+                                 method=self.model.decode)
+        img = (np.asarray(x_rec) + 1.0) / 2.0  # [-1,1] -> [0,1]
+        save_image_grid(img, outdir / f"recon_epoch{epoch:04d}.png", nrow=8)

@@ -96,14 +96,20 @@ def auto_detect_vae_config(params: Dict) -> Dict[str, Any]:
     topology = "spatial" if mu_kernel.ndim == 4 else "flat"
     latent_dim = int(mu_kernel.shape[-1])
 
-    dec_keys = sorted(k for k in flat if k.startswith("decoder/") and k.endswith("kernel"))
+    # decoder channel order: conv_in/fc_in feeds channels[0], then the
+    # ConvTranspose stages in index order cover channels[1:]; the named
+    # "out" head is the image channels and is excluded.
     dec_channels = []
-    for k in dec_keys:
-        if "conv_in" in k or "fc_in" in k:
-            dec_channels.append(int(flat[k].shape[-1]) if "conv_in" in k
-                                else int(flat[k].shape[-1]) // 16)
-        elif "ConvTranspose" in k:
+    for k in flat:
+        if k.startswith("decoder/conv_in") and k.endswith("kernel"):
             dec_channels.append(int(flat[k].shape[-1]))
+        elif k.startswith("decoder/fc_in") and k.endswith("kernel"):
+            dec_channels.append(int(flat[k].shape[-1]) // 16)
+    stage_keys = sorted(
+        (k for k in flat if k.startswith("decoder/ConvTranspose_")
+         and k.endswith("kernel")),
+        key=lambda k: int(k.split("ConvTranspose_")[1].split("/")[0]))
+    dec_channels += [int(flat[k].shape[-1]) for k in stage_keys]
     dec_channels = dec_channels or list(reversed(enc_channels))
 
     return {
