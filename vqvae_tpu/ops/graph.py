@@ -153,6 +153,36 @@ def _build_knn_graph_host(z, k, metric, mode, sym):
     return W, {"distances": dists, "indices": idxs}
 
 
+def bfs_node_order(W: sparse.csr_matrix) -> np.ndarray:
+    """BFS relabeling permutation: ``perm[new_id] = old_id``.
+
+    Relabeling nodes in BFS order makes shortest paths roughly monotone in
+    node id, so the device relaxation's alternating forward/backward
+    Gauss-Seidel sweeps (ops.shortest_paths) converge in a handful of
+    passes instead of O(diameter). Covers all components (BFS restarts at
+    the lowest unvisited node).
+    """
+    from scipy.sparse.csgraph import breadth_first_order
+
+    n = W.shape[0]
+    W = W.tocsr()
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    for start in range(n):
+        if visited[start]:
+            continue
+        nodes = breadth_first_order(W, start, directed=False,
+                                    return_predecessors=False)
+        nodes = nodes[~visited[nodes]]
+        visited[nodes] = True
+        order[pos:pos + len(nodes)] = nodes
+        pos += len(nodes)
+        if pos == n:
+            break
+    return order
+
+
 def largest_connected_component(W: sparse.csr_matrix) -> np.ndarray:
     """Boolean mask of nodes in the largest component (reference
     knn_graph_optimized.py:173-181)."""

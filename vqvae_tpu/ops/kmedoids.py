@@ -166,13 +166,28 @@ def fit_kmedoids(
     seed: int = 42,
     kpp_rounds: int = 8,
     backend: str = "auto",
+    reorder: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Graph K-medoids: init + one-shot assignment + QE.
 
     ``init``: "kpp" (exact sequential), "kpp_parallel" (batched k-means||),
     or "random". Matches the reference control flow (fit_kmedoids_optimized,
     kmeans_optimized.py:141-183), which performs no Lloyd refinement.
+
+    ``reorder``: BFS-relabel the graph before device relaxation (sweep-count
+    reduction; see ops.graph.bfs_node_order) — results are mapped back to
+    original node ids, so callers never see the permutation.
     """
+    from scipy import sparse
+
+    perm = None
+    if (reorder and sparse.issparse(W)
+            and float(W.nnz) * max(K, 1) >= HOST_WORK_THRESHOLD):
+        from .graph import bfs_node_order
+
+        perm = bfs_node_order(W)
+        W = W.tocsr()[perm][:, perm]
+
     graph, resolved, n = _resolve(W, K, backend)
     if init == "kpp":
         medoids = np.asarray(kpp_initialization(graph, K, seed=seed,
@@ -191,6 +206,11 @@ def fit_kmedoids(
 
     assign, dist = assign_points_to_medoids(graph, medoids, backend=resolved)
     qe = compute_quantization_error(dist)
+    if perm is not None:  # map back to original node ids
+        medoids = perm[medoids]
+        assign_orig = np.empty_like(assign)
+        assign_orig[perm] = assign
+        assign = assign_orig
     return medoids, assign, qe
 
 

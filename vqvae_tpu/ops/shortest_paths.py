@@ -43,6 +43,7 @@ class EdgeList(NamedTuple):
     dst: jax.Array  # (E,) int32
     w: jax.Array    # (E,) float32 (+inf for padding)
     n_nodes: int
+    dst_sorted: bool = False  # True when edges are sorted by destination
 
     @staticmethod
     def from_arrays(src, dst, w, n_nodes: int, pad_multiple: int = 8192) -> "EdgeList":
@@ -51,20 +52,29 @@ class EdgeList(NamedTuple):
         w = np.asarray(w, np.float32)
         if (w < 0).any():
             raise ValueError("Negative weights")
+        dst_sorted = bool(len(dst) == 0 or (dst[:-1] <= dst[1:]).all())
         e = len(src)
         e_pad = max(pad_multiple, ((e + pad_multiple - 1) // pad_multiple) * pad_multiple)
         if e_pad > e:
-            src = np.concatenate([src, np.zeros(e_pad - e, np.int32)])
-            dst = np.concatenate([dst, np.zeros(e_pad - e, np.int32)])
+            # pad with self-loops on the LAST node so dst-sortedness holds;
+            # +inf weight means they can never lower a distance
+            pad_node = np.int32(max(n_nodes - 1, 0))
+            src = np.concatenate([src, np.full(e_pad - e, pad_node, np.int32)])
+            dst = np.concatenate([dst, np.full(e_pad - e, pad_node, np.int32)])
             w = np.concatenate([w, np.full(e_pad - e, np.inf, np.float32)])
         return EdgeList(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w),
-                        int(n_nodes))
+                        int(n_nodes), dst_sorted)
 
     @staticmethod
     def from_csr(W, pad_multiple: int = 8192) -> "EdgeList":
         """Build from a scipy.sparse matrix, symmetrizing to both directions
         (matching scipy dijkstra's ``directed=False`` semantics: traversal
-        may use min(W[i,j], W[j,i]) in either direction)."""
+        may use min(W[i,j], W[j,i]) in either direction).
+
+        Edges are sorted by destination so the relaxation's segment_min can
+        use ``indices_are_sorted=True`` (a sorted-segment reduction instead
+        of a scatter) and chunk-sequential sweeps propagate Gauss-Seidel
+        style along the node order."""
         from scipy import sparse
 
         if not sparse.issparse(W):
@@ -75,10 +85,13 @@ class EdgeList(NamedTuple):
         src = np.concatenate([coo.row, coo.col])
         dst = np.concatenate([coo.col, coo.row])
         w = np.concatenate([coo.data, coo.data]).astype(np.float32)
-        return EdgeList.from_arrays(src, dst, w, W.shape[0], pad_multiple)
+        order = np.argsort(dst, kind="stable")
+        return EdgeList.from_arrays(src[order], dst[order], w[order],
+                                    W.shape[0], pad_multiple)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "chunk", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("n_nodes", "chunk", "max_iters",
+                                              "sorted_chunks"))
 def _bellman_ford(
     src: jax.Array,
     dst: jax.Array,
@@ -87,6 +100,7 @@ def _bellman_ford(
     n_nodes: int,
     chunk: int,
     max_iters: int,
+    sorted_chunks: bool,
 ) -> jax.Array:
     e_pad = src.shape[0]
     n_chunks = e_pad // chunk
@@ -94,14 +108,18 @@ def _bellman_ford(
     dst_c = dst.reshape(n_chunks, chunk)
     w_c = w.reshape(n_chunks, chunk)
 
-    def sweep(d):
-        def chunk_step(d, ins):
-            s, t, wc = ins
+    def sweep(d, reverse):
+        def chunk_step(d, i):
+            idx = jnp.where(reverse, n_chunks - 1 - i, i)
+            s = src_c[idx]
+            t = dst_c[idx]
+            wc = w_c[idx]
             contrib = d[s] + wc[:, None]  # (chunk, K)
-            relax = jax.ops.segment_min(contrib, t, num_segments=n_nodes)
+            relax = jax.ops.segment_min(contrib, t, num_segments=n_nodes,
+                                        indices_are_sorted=sorted_chunks)
             return jnp.minimum(d, relax), None
 
-        d, _ = jax.lax.scan(chunk_step, d, (src_c, dst_c, w_c))
+        d, _ = jax.lax.scan(chunk_step, d, jnp.arange(n_chunks))
         return d
 
     def cond(state):
@@ -110,7 +128,11 @@ def _bellman_ford(
 
     def body(state):
         d, _, it = state
-        d_new = sweep(d)
+        # alternate sweep direction (Gauss-Seidel over chunk order):
+        # forward sweeps resolve paths aligned with the node order, backward
+        # sweeps the rest — together they cut the sweep count on ordered
+        # (e.g. BFS-relabeled) graphs by orders of magnitude vs Jacobi.
+        d_new = sweep(d, it % 2 == 1)
         changed = jnp.any(d_new < d)
         return d_new, changed, it + 1
 
@@ -149,7 +171,8 @@ def multi_source_shortest_paths(
         chunk = int(np.gcd(edges.src.shape[0], chunk))
     if max_iters is None:
         max_iters = n + 1
-    return _bellman_ford(edges.src, edges.dst, w, d0, n, chunk, int(max_iters))
+    return _bellman_ford(edges.src, edges.dst, w, d0, n, chunk,
+                         int(max_iters), bool(edges.dst_sorted))
 
 
 def single_source_shortest_paths(

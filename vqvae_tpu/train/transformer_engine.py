@@ -88,15 +88,17 @@ class TransformerEngine:
 
     def run_epoch(self, state, loader, train: bool, epoch: int, rng
                   ) -> Tuple[TrainState, float]:
-        total, n = 0.0, 0
+        # device-side loss accumulation: one host sync per epoch, not per step
+        total = None
+        n = 0
         for i, (x, y, lab, mask) in enumerate(loader.epoch(epoch)):
             batch = shard_batch(self.mesh, (jnp.asarray(x), jnp.asarray(y),
                                             jnp.asarray(lab), jnp.asarray(mask)))
             state, loss = (self._train_step if train else self._eval_step)(
                 state, *batch, jax.random.fold_in(rng, i))
-            total += float(loss)
+            total = loss if total is None else total + loss
             n += 1
-        return state, total / max(n, 1)
+        return state, (float(total) / max(n, 1)) if total is not None else 0.0
 
     def train(
         self,

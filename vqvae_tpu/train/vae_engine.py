@@ -166,9 +166,12 @@ class VAEEngine:
     # -- loops ----------------------------------------------------------------
     def run_epoch(self, state, loader: DataLoader, train: bool, epoch: int,
                   beta: float, rng) -> Tuple[TrainState, Dict[str, float]]:
-        sums: Dict[str, float] = {}
+        """One epoch. Metric accumulation stays ON DEVICE — syncing scalars
+        per step would serialize the async dispatch pipeline (the reference
+        pays exactly this cost with its per-step .item() calls,
+        engine.py:57-59); we block once at epoch end."""
+        acc = None  # device-side running sums
         n_batches = 0
-        psnr_sum = ssim_sum = n_examples = 0.0
         for images, _, mask in loader.epoch(epoch):
             batch = shard_batch(self.mesh, (jnp.asarray(images), jnp.asarray(mask)))
             images_d, mask_d = batch
@@ -179,18 +182,21 @@ class VAEEngine:
                 m = self._eval_step(state, images_d, mask_d,
                                     jax.random.fold_in(rng, n_batches),
                                     jnp.float32(beta))
+                # weight per-batch psnr/ssim by example count on device
+                m = dict(m)
+                m["psnr"] = m["psnr"] * m["n"]
+                m["ssim"] = m["ssim"] * m["n"]
             n_batches += 1
-            for k in ("loss", "recon", "kl"):
-                sums[k] = sums.get(k, 0.0) + float(m[k])
-            if not train:
-                nb = float(m["n"])
-                psnr_sum += float(m["psnr"]) * nb
-                ssim_sum += float(m["ssim"]) * nb
-                n_examples += nb
-        out = {k: v / max(n_batches, 1) for k, v in sums.items()}
-        if not train and n_examples > 0:
-            out["psnr"] = psnr_sum / n_examples
-            out["ssim"] = ssim_sum / n_examples
+            acc = m if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, m)
+        if acc is None:
+            return state, {}
+        acc = jax.device_get(acc)  # single sync point per epoch
+        out = {k: float(acc[k]) / max(n_batches, 1)
+               for k in ("loss", "recon", "kl")}
+        if not train and float(acc.get("n", 0.0)) > 0:
+            out["psnr"] = float(acc["psnr"]) / float(acc["n"])
+            out["ssim"] = float(acc["ssim"]) / float(acc["n"])
         return state, out
 
     def train(

@@ -128,8 +128,9 @@ class VQVAEEngine:
         return step
 
     def run_epoch(self, state, cb, bank, loader, train: bool, epoch: int, rng):
-        sums: Dict[str, float] = {}
-        n = 0
+        # device-side accumulation; single host sync per epoch
+        acc = None
+        n = 0.0
         for i, (images, _, mask) in enumerate(loader.epoch(epoch)):
             x01 = loader.split.denormalize(images)
             x = jnp.asarray(x01, jnp.float32) * 2.0 - 1.0  # [-1, 1]
@@ -138,10 +139,14 @@ class VQVAEEngine:
             state, cb, bank, m = step_fn(state, cb, bank, x, mask_d,
                                          jax.random.fold_in(rng, i))
             bs = float(mask.sum())
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v) * bs
+            m = {k: v * bs for k, v in m.items()}
+            acc = m if acc is None else jax.tree_util.tree_map(jnp.add, acc, m)
             n += bs
-        return state, cb, bank, {k: v / max(n, 1.0) for k, v in sums.items()}
+        if acc is None:
+            return state, cb, bank, {}
+        acc = jax.device_get(acc)
+        return state, cb, bank, {k: float(v) / max(n, 1.0)
+                                 for k, v in acc.items()}
 
     def train(
         self,
