@@ -160,6 +160,14 @@ def main() -> None:
 
     import jax
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/vqvae_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from vqvae_tpu.models import VAE
     from vqvae_tpu.ops.riemannian import make_decoder_image_fn
 

@@ -38,22 +38,14 @@ from .build_codebook import load_codebook
 
 def nearest_medoid_assign(z: np.ndarray, z_medoid: np.ndarray,
                           batch_size: int = 8192) -> np.ndarray:
-    """Blockwise nearest-medoid assignment on device (reference
-    evaluate_quantization_loss.py:37-50)."""
-    z_medoid_j = jnp.asarray(z_medoid, jnp.float32)
-    b2 = (z_medoid_j**2).sum(1)
+    """Nearest-medoid assignment via the fused Pallas kernel (distance
+    matmul + argmin reduced in VMEM; ops/pallas_assign.py) — the TPU
+    replacement for the reference's blockwise torch matmul
+    (evaluate_quantization_loss.py:37-50)."""
+    from ..ops.pallas_assign import nearest_codes
 
-    @jax.jit
-    def assign_block(zi):
-        a2 = (zi**2).sum(1, keepdims=True)
-        d2 = a2 + b2[None, :] - 2.0 * (zi @ z_medoid_j.T)
-        return jnp.argmin(d2, axis=1)
-
-    out = []
-    for i in range(0, len(z), batch_size):
-        zi = jnp.asarray(z[i:i + batch_size], jnp.float32)
-        out.append(np.asarray(assign_block(zi)))
-    return np.concatenate(out).astype(np.int64)
+    idx, _ = nearest_codes(z, z_medoid, tile=min(batch_size, 8192))
+    return idx
 
 
 def unnormalize_images(x: np.ndarray, dataset_name: str,
