@@ -181,10 +181,12 @@ def main() -> None:
                            np.zeros((1, 28, 28, 1), np.float32))
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
-    # warm-up: compile the kernels on a small slice so wall-clock measures
-    # steady-state execution, not first-compile latency
-    log("[bench] warm-up compile...")
-    run_ours(z[:4096], k=k, K=min(K, 64), decode_fn=decode_fn)
+    # warm-up at the MEASUREMENT shapes: XLA programs are shape-specialized
+    # and this environment's compiles are remote (minutes, uncacheable), so
+    # a small-slice warm-up would leave the real shapes uncompiled and
+    # pollute the measured run with compile latency.
+    log("[bench] warm-up compile (full shapes)...")
+    run_ours(z, k=k, K=K, decode_fn=decode_fn)
 
     ours = run_ours(z, k=k, K=K, decode_fn=decode_fn)
     vs = None

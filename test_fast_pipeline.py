@@ -19,7 +19,9 @@ from vqvae_tpu.cli.pipeline import run_pipeline  # noqa: E402
 
 def main() -> int:
     preset = sys.argv[1] if len(sys.argv) > 1 else "geodesic"
-    preset_dir = Path("configs/sandbox-fashion") / preset
+    # configs live next to this script; artifacts land under the CWD
+    preset_dir = (Path(__file__).resolve().parent / "configs"
+                  / "sandbox-fashion" / preset)
     t0 = time.perf_counter()
     timings = run_pipeline(preset_dir)
     exp = Path("experiments/sandbox-fashion") / preset

@@ -17,6 +17,7 @@ step (generate_samples.py:23-31).
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -86,6 +87,81 @@ class TransformerEngine:
 
         return step
 
+    # -- device-resident epoch path (one dispatch per epoch) -----------------
+    def _build_epoch_fns(self, batch_size: int):
+        model, ls = self.model, self.label_smoothing
+        from ..parallel import data_sharding
+
+        shard2 = data_sharding(self.mesh, 2)
+        shard1 = data_sharding(self.mesh, 1)
+
+        def take_sharded(a, ib, shard):
+            # re-shard each gathered batch across the mesh (data parallel)
+            return jax.lax.with_sharding_constraint(jnp.take(a, ib, 0), shard)
+
+        def loss_of(params, x, targets, labels, mask, rng, train):
+            logits = model.apply(
+                {"params": params}, x,
+                y=labels if model.num_classes > 0 else None,
+                train=train,
+                rngs={"dropout": rng} if train else None)
+            return cross_entropy_loss(logits, targets, mask=mask,
+                                      label_smoothing=ls)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",),
+                           donate_argnums=(0,))
+        def train_epoch(state, x, y, lab, mask, perm, rng, n_steps):
+            idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+
+            def body(state, ib):
+                step_rng = jax.random.fold_in(rng, state.step)
+                loss, grads = jax.value_and_grad(loss_of)(
+                    state.params, take_sharded(x, ib, shard2),
+                    take_sharded(y, ib, shard2), take_sharded(lab, ib, shard1),
+                    take_sharded(mask, ib, shard1), step_rng, True)
+                return state.apply_gradients(grads=grads), loss
+
+            state, losses = jax.lax.scan(body, state, idx)
+            return state, losses.mean()
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def eval_epoch(state, x, y, lab, mask, rng, n_steps):
+            idx = jnp.arange(n_steps * batch_size).reshape(n_steps, batch_size)
+
+            def body(carry, ib):
+                loss = loss_of(state.params, take_sharded(x, ib, shard2),
+                               take_sharded(y, ib, shard2),
+                               take_sharded(lab, ib, shard1),
+                               take_sharded(mask, ib, shard1), rng, False)
+                return carry, loss
+
+            _, losses = jax.lax.scan(body, None, idx)
+            return losses.mean()
+
+        return train_epoch, eval_epoch
+
+    def _device_dataset(self, loader):
+        bs = loader.batch_size
+        x, y = loader.x, loader.y
+        lab = loader.labels if loader.labels is not None else np.zeros(len(x), np.int32)
+        n = len(x)
+        n_steps = max(1, (n + bs - 1) // bs)
+        n_pad = n_steps * bs
+        mask = np.zeros(n_pad, np.float32)
+        mask[:n] = 1.0
+
+        def pad(a):
+            if n_pad > n:
+                a = np.concatenate([a, np.zeros((n_pad - n, *a.shape[1:]),
+                                                a.dtype)])
+            return a
+
+        rep = replicated_sharding(self.mesh)
+        put = lambda a: jax.device_put(jnp.asarray(a), rep)  # noqa: E731
+        return (put(pad(x.astype(np.int32))), put(pad(y.astype(np.int32))),
+                put(pad(np.asarray(lab, np.int32))), put(mask),
+                n_steps, n_pad)
+
     def run_epoch(self, state, loader, train: bool, epoch: int, rng
                   ) -> Tuple[TrainState, float]:
         # device-side loss accumulation: one host sync per epoch, not per step
@@ -112,10 +188,21 @@ class TransformerEngine:
         ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
         rng = jax.random.key(self.seed + 1)
         best_val = float("inf")
+
+        bs = train_loader.batch_size
+        train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
+        x, y, lab, mask, n_steps, n_pad = self._device_dataset(train_loader)
+
         for epoch in range(1, num_epochs + 1):
             ep_rng = jax.random.fold_in(rng, epoch)
-            state, tr_loss = self.run_epoch(state, train_loader, True, epoch, ep_rng)
-            state, va_loss = self.run_epoch(state, val_loader, False, epoch, ep_rng)
+            perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n_pad)
+            state, tr_loss = train_epoch_fn(state, x, y, lab, mask, perm,
+                                            ep_rng, n_steps=n_steps)
+            # the "val" loader re-serves the train data unshuffled (reference
+            # src/data/__init__.py:50-52); evaluate on the same device arrays
+            va_loss = eval_epoch_fn(state, x, y, lab, mask, ep_rng,
+                                    n_steps=n_steps)
+            tr_loss, va_loss = float(tr_loss), float(va_loss)
             print(f"[transformer] epoch {epoch}/{num_epochs} "
                   f"train={tr_loss:.4f} val={va_loss:.4f}")
             if logger is not None:

@@ -25,6 +25,7 @@ names (train/val loss, recon, kl, beta, val_psnr, val_ssim,
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -163,6 +164,123 @@ class VAEEngine:
 
         return encode_step
 
+    # -- device-resident epoch path -------------------------------------------
+    def _build_epoch_fns(self, batch_size: int):
+        """Whole-epoch train/eval as ONE jitted program: the dataset lives
+        on device, a `lax.scan` walks shuffled batch indices, and exactly
+        one dispatch crosses the host boundary per epoch. This is the
+        TPU-native answer to the reference's per-batch DataLoader loop
+        (its 235 steps/epoch each pay host->device + .item() sync)."""
+        model = self.model
+        from ..parallel import data_sharding
+
+        batch_sharding = data_sharding(self.mesh, 4)
+        mask_sharding = data_sharding(self.mesh, 1)
+
+        def one_train_step(state, idx_batch, data, mask_all, rng, beta):
+            # the dataset is replicated; re-shard each gathered batch across
+            # the mesh so the step runs data-parallel (XLA inserts the grad
+            # psum) instead of redundantly on every chip
+            images = jax.lax.with_sharding_constraint(
+                jnp.take(data, idx_batch, axis=0), batch_sharding)
+            mask = jax.lax.with_sharding_constraint(
+                jnp.take(mask_all, idx_batch, axis=0), mask_sharding)
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                variables = self._variables(params, state.batch_stats)
+                if state.batch_stats:
+                    (x_logits, mu, logvar, _), new_vars = model.apply(
+                        variables, images, step_rng, True,
+                        mutable=["batch_stats"])
+                else:
+                    x_logits, mu, logvar, _ = model.apply(variables, images,
+                                                          step_rng, True)
+                    new_vars = {}
+                total, recon, kl = elbo_loss(
+                    images, x_logits, mu, logvar,
+                    recon_loss=model.recon_loss,
+                    mse_use_sigmoid=model.mse_use_sigmoid,
+                    topology=model.topology, beta=beta, mask=mask,
+                    free_bits=model.free_bits,
+                    capacity_max=model.capacity_max,
+                    capacity_anneal_steps=model.capacity_anneal_steps,
+                    capacity_mode=model.capacity_mode,
+                    step=state.step)
+                return total, (recon, kl, new_vars.get("batch_stats", {}))
+
+            (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads)
+            if new_bs:
+                state = state.replace(batch_stats=new_bs)
+            return state, jnp.stack([total, recon, kl])
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",),
+                           donate_argnums=(0,))
+        def train_epoch(state, data, mask_all, perm, rng, beta, n_steps):
+            idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+
+            def body(state, ib):
+                return one_train_step(state, ib, data, mask_all, rng, beta)
+
+            state, metrics = jax.lax.scan(body, state, idx)
+            return state, metrics.mean(axis=0)  # (3,) loss/recon/kl
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def eval_epoch(state, data, mask_all, perm, rng, beta, n_steps):
+            idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+            variables = self._variables(state.params, state.batch_stats)
+
+            def body(carry, ib):
+                images = jax.lax.with_sharding_constraint(
+                    jnp.take(data, ib, axis=0), batch_sharding)
+                mask = jax.lax.with_sharding_constraint(
+                    jnp.take(mask_all, ib, axis=0), mask_sharding)
+                x_logits, mu, logvar, _ = model.apply(
+                    variables, images, jax.random.fold_in(rng, ib[0]), False)
+                total, recon, kl = elbo_loss(
+                    images, x_logits, mu, logvar,
+                    recon_loss=model.recon_loss,
+                    mse_use_sigmoid=model.mse_use_sigmoid,
+                    topology=model.topology, beta=beta, mask=mask,
+                    free_bits=model.free_bits,
+                    capacity_max=model.capacity_max,
+                    capacity_anneal_steps=model.capacity_anneal_steps,
+                    capacity_mode=model.capacity_mode, step=state.step)
+                x_rec = (jax.nn.sigmoid(x_logits) if model.apply_sigmoid
+                         else x_logits)
+                x_rec = jnp.clip(x_rec, 0.0, 1.0)
+                n = mask.sum()
+                stats = jnp.stack([total, recon, kl,
+                                   psnr(x_rec, images, mask=mask) * n,
+                                   ssim_simple(x_rec, images, mask=mask) * n,
+                                   n])
+                return carry, stats
+
+            _, metrics = jax.lax.scan(body, None, idx)
+            return metrics.sum(axis=0)  # summed; normalized on host
+
+        return train_epoch, eval_epoch
+
+    def _device_dataset(self, loader: DataLoader, batch_size: int):
+        """Pad the split to a step multiple and park it on device (a
+        validity mask covers the padding rows)."""
+        images = loader.split.images
+        n = images.shape[0]
+        n_steps = max(1, (n + batch_size - 1) // batch_size)
+        n_pad = n_steps * batch_size
+        mask = np.zeros((n_pad,), np.float32)
+        mask[:n] = 1.0
+        if n_pad > n:
+            images = np.concatenate(
+                [images, np.zeros((n_pad - n, *images.shape[1:]),
+                                  images.dtype)])
+        sharding = replicated_sharding(self.mesh)
+        return (jax.device_put(jnp.asarray(images), sharding),
+                jax.device_put(jnp.asarray(mask), sharding),
+                n_steps, n_pad)
+
     # -- loops ----------------------------------------------------------------
     def run_epoch(self, state, loader: DataLoader, train: bool, epoch: int,
                   beta: float, rng) -> Tuple[TrainState, Dict[str, float]]:
@@ -220,13 +338,41 @@ class VAEEngine:
         best_val = float("inf")
         no_improve = 0
         num_pixels = int(np.prod(train_loader.split.image_shape))
-        best_state = state
+        best_state = jax.device_get(state)
+
+        # device-resident fast path (one dispatch per epoch) unless host-side
+        # augmentation forces per-batch host work
+        fast = not train_loader.augment
+        if fast:
+            bs = train_loader.batch_size
+            train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
+            tr_data, tr_mask, tr_steps, tr_pad = self._device_dataset(train_loader, bs)
+            va_data, va_mask, va_steps, va_pad = self._device_dataset(val_loader, bs)
+            va_n = float(val_loader.num_examples)
 
         for epoch in range(1, num_epochs + 1):
             cur_beta = beta * min(1.0, epoch / kl_anneal_epochs) if kl_anneal_epochs > 0 else beta
             ep_rng = jax.random.fold_in(rng, epoch)
-            state, tr = self.run_epoch(state, train_loader, True, epoch, cur_beta, ep_rng)
-            state, va = self.run_epoch(state, val_loader, False, epoch, cur_beta, ep_rng)
+            if fast:
+                perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), tr_pad)
+                state, tr_m = train_epoch_fn(state, tr_data, tr_mask, perm,
+                                             ep_rng, jnp.float32(cur_beta),
+                                             n_steps=tr_steps)
+                va_sums = eval_epoch_fn(state, va_data, va_mask,
+                                        jnp.arange(va_pad), ep_rng,
+                                        jnp.float32(cur_beta),
+                                        n_steps=va_steps)
+                tr_m, va_sums = jax.device_get((tr_m, va_sums))
+                tr = {"loss": float(tr_m[0]), "recon": float(tr_m[1]),
+                      "kl": float(tr_m[2])}
+                va = {"loss": float(va_sums[0]) / va_steps,
+                      "recon": float(va_sums[1]) / va_steps,
+                      "kl": float(va_sums[2]) / va_steps,
+                      "psnr": float(va_sums[3]) / max(va_n, 1.0),
+                      "ssim": float(va_sums[4]) / max(va_n, 1.0)}
+            else:
+                state, tr = self.run_epoch(state, train_loader, True, epoch, cur_beta, ep_rng)
+                state, va = self.run_epoch(state, val_loader, False, epoch, cur_beta, ep_rng)
 
             if logger is not None:
                 logger.log_metrics({
@@ -245,7 +391,8 @@ class VAEEngine:
             if va["loss"] < best_val:
                 best_val = va["loss"]
                 no_improve = 0
-                best_state = state
+                # host copy: the fast path donates state buffers each epoch
+                best_state = jax.device_get(state)
                 if ckptr:
                     ckptr.save("best", {"params": state.params,
                                         "batch_stats": state.batch_stats,
