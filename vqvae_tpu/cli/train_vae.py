@@ -72,6 +72,20 @@ def train_vae_main(cfg: Config, topology: Optional[str] = None) -> Path:
         seed=seed,
     )
     state = engine.init_state(train_loader.split.images[:1])
+    if bool(cfg.get("resume", False)):
+        from ..utils.checkpoint import Checkpointer
+
+        ckptr = Checkpointer(ckpt_dir)
+        if ckptr.exists("latest"):
+            restored = ckptr.restore("latest", target={
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": 0, "epoch": 0})
+            state = state.replace(params=restored["params"],
+                                  batch_stats=restored["batch_stats"],
+                                  opt_state=restored["opt_state"],
+                                  step=restored["step"])
+            print(f"[vae] resumed from {ckpt_dir}/latest "
+                  f"(epoch {restored['epoch']}, step {restored['step']})")
     engine.train(
         state, train_loader, val_loader,
         num_epochs=int(cfg["max_epochs"]),

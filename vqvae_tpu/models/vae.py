@@ -68,7 +68,12 @@ class Encoder(nn.Module):
         norm = _norm(self.norm_type, self.dtype)
         h = x.astype(self.dtype)
         for ch in self.channels:
-            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+            # explicit (1,1) padding: flax "SAME" at stride 2 pads (0,1),
+            # which shifts the sampling grid one pixel vs the reference's
+            # torch padding=1 — explicit padding keeps checkpoint interop
+            # and metric parity exact
+            h = nn.Conv(ch, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)),
                         dtype=self.dtype, param_dtype=jnp.float32)(h)
             h = norm(ch, train)(h)
             h = nn.relu(h)

@@ -45,10 +45,12 @@ class VQEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.hidden // 2, (4, 4), strides=(2, 2), padding="SAME",
+        h = nn.Conv(self.hidden // 2, (4, 4), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         h = nn.relu(h)
-        h = nn.Conv(self.hidden, (4, 4), strides=(2, 2), padding="SAME",
+        h = nn.Conv(self.hidden, (4, 4), strides=(2, 2),
+                    padding=((1, 1), (1, 1)),
                     dtype=self.dtype, param_dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Conv(self.z_channels, (3, 3), padding="SAME",

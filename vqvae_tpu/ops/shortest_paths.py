@@ -81,16 +81,32 @@ class EdgeList(NamedTuple):
             raise TypeError("W must be a scipy sparse matrix")
         if W.shape[0] != W.shape[1]:
             raise ValueError("W must be square")
+        # deduplicate to one undirected edge per pair with the min stored
+        # weight (scipy's directed=False traversal may use either stored
+        # direction) — expanding a symmetric CSR naively stores every edge
+        # twice and doubles relaxation traffic.
+        n = W.shape[0]
         coo = W.tocoo()
-        src = np.concatenate([coo.row, coo.col])
-        dst = np.concatenate([coo.col, coo.row])
-        w = np.concatenate([coo.data, coo.data]).astype(np.float32)
+        lo = np.minimum(coo.row, coo.col).astype(np.int64)
+        hi = np.maximum(coo.row, coo.col).astype(np.int64)
+        keep = lo != hi
+        key = lo[keep] * n + hi[keep]
+        data = coo.data[keep].astype(np.float32)
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], data[order]
+        uniq, start = np.unique(key_s, return_index=True)
+        w_min = np.minimum.reduceat(w_s, start) if len(w_s) else w_s
+        iu = (uniq // n).astype(np.int32)
+        ju = (uniq % n).astype(np.int32)
+        src = np.concatenate([iu, ju])
+        dst = np.concatenate([ju, iu])
+        w = np.concatenate([w_min, w_min])
         order = np.argsort(dst, kind="stable")
         return EdgeList.from_arrays(src[order], dst[order], w[order],
-                                    W.shape[0], pad_multiple)
+                                    n, pad_multiple)
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "chunk", "max_iters",
+@functools.partial(jax.jit, static_argnames=("n_nodes", "chunk",
                                               "sorted_chunks"))
 def _bellman_ford(
     src: jax.Array,
@@ -99,7 +115,7 @@ def _bellman_ford(
     d0: jax.Array,  # (N, K) initial distances
     n_nodes: int,
     chunk: int,
-    max_iters: int,
+    max_iters: jax.Array,  # traced: only bounds the while_loop condition
     sorted_chunks: bool,
 ) -> jax.Array:
     e_pad = src.shape[0]
@@ -136,8 +152,8 @@ def _bellman_ford(
         changed = jnp.any(d_new < d)
         return d_new, changed, it + 1
 
-    d_final, _, _ = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True), 0))
-    return d_final
+    d_final, _, iters = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True), 0))
+    return d_final, iters
 
 
 def multi_source_shortest_paths(
@@ -147,6 +163,7 @@ def multi_source_shortest_paths(
     chunk: int = 262_144,
     max_iters: Optional[int] = None,
     d0: Optional[jax.Array] = None,
+    return_iters: bool = False,
 ) -> jax.Array:
     """Shortest-path distances from each source to every node.
 
@@ -171,8 +188,9 @@ def multi_source_shortest_paths(
         chunk = int(np.gcd(edges.src.shape[0], chunk))
     if max_iters is None:
         max_iters = n + 1
-    return _bellman_ford(edges.src, edges.dst, w, d0, n, chunk,
-                         int(max_iters), bool(edges.dst_sorted))
+    d, iters = _bellman_ford(edges.src, edges.dst, w, d0, n, chunk,
+                             jnp.int32(max_iters), bool(edges.dst_sorted))
+    return (d, iters) if return_iters else d
 
 
 def single_source_shortest_paths(

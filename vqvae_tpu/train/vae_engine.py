@@ -211,6 +211,11 @@ class VAEEngine:
 
             (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            # NaN/Inf guard: zero the update instead of a host-synced skip
+            # (the reference baseline skips such steps, train.py:59-61)
+            finite = jnp.isfinite(total)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             state = state.apply_gradients(grads=grads)
             if new_bs:
                 state = state.replace(batch_stats=new_bs)

@@ -129,8 +129,25 @@ def load_vae_from_checkpoint(ckpt_dir: str | Path, name: str = "best",
                              mse_use_sigmoid: bool = True):
     """Rebuild (model, variables) from a checkpoint, auto-detecting the
     architecture when no config is given (reference
-    checkpoint_utils.py:56-119)."""
+    checkpoint_utils.py:56-119). Reference torch ``.pt`` checkpoints are
+    accepted too (converted via utils.torch_compat)."""
     from ..models import VAE
+
+    pt_path = Path(ckpt_dir) / name
+    if str(name).endswith(".pt") or (pt_path.is_file()
+                                     and pt_path.suffix == ".pt"):
+        if config is None:
+            raise ValueError("loading a torch .pt checkpoint requires an "
+                             "explicit architecture config")
+        from .torch_compat import load_reference_vae_checkpoint
+
+        cfg = dict(config)
+        cfg.setdefault("recon_loss", recon_loss)
+        cfg.setdefault("mse_use_sigmoid", mse_use_sigmoid)
+        variables = load_reference_vae_checkpoint(
+            pt_path, cfg.get("topology", "flat"), cfg["enc_channels"],
+            cfg["dec_channels"], norm_type=cfg.get("norm_type", "batch"))
+        return VAE(**cfg), variables
 
     ckptr = Checkpointer(ckpt_dir)
     state = ckptr.restore(name)
