@@ -50,8 +50,16 @@ def multi_source_distances(
 
         return native.dijkstra_multi_source(W_or_edges, sources.astype(np.int32)).T.copy()
 
-    edges = W_or_edges if isinstance(W_or_edges, EdgeList) else EdgeList.from_csr(W_or_edges)
-    return np.asarray(multi_source_shortest_paths(edges, sources))
+    from .ell import BucketedGraph, multi_source_shortest_paths_ell
+
+    if isinstance(W_or_edges, BucketedGraph):
+        return np.asarray(multi_source_shortest_paths_ell(W_or_edges, sources))
+    if isinstance(W_or_edges, EdgeList):
+        return np.asarray(multi_source_shortest_paths(W_or_edges, sources))
+    # CSR on device: the scatter-free bucketed engine is the fast path
+    # (measured ~1.3x over the segment_min edge-list engine at 196k/K=512)
+    return np.asarray(multi_source_shortest_paths_ell(
+        BucketedGraph.from_csr(W_or_edges), sources))
 
 
 def _native_ok() -> bool:

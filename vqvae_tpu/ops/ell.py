@@ -1,0 +1,153 @@
+"""Degree-bucketed (ELL-style) graph relaxation — scatter-free sweeps.
+
+The edge-list relaxation reduces with ``segment_min`` (a scatter);
+TPU/XLA executes scatters far below HBM bandwidth. This representation
+removes the scatter entirely: nodes are grouped into power-of-two in-degree
+buckets, each bucket stores a dense ``(N_b, deg)`` neighbor/weight matrix
+(padded with +inf weights), and one relaxation sweep is
+
+    for each bucket:  cand_b = min_axis1( D[nbr_b] + w_b )      # gathers
+    relaxed = concat(cand_b)[inverse_node_permutation]           # gather
+    D = min(D, relaxed)                                          # vector min
+
+— pure gathers and vector reductions, which XLA maps onto the VPU at
+near-bandwidth. A pure-Jacobi sweep propagates one hop, so the sweep count
+equals the shortest-path hop radius (~log N on kNN latent graphs); the
+while_loop exits as soon as no distance improves.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = np.float32(np.inf)
+
+
+class BucketedGraph(NamedTuple):
+    """Degree-bucketed in-neighbor structure (static shapes per bucket)."""
+
+    nbrs: Tuple[jax.Array, ...]     # per bucket: (N_b, deg_b) int32 src ids
+    wts: Tuple[jax.Array, ...]      # per bucket: (N_b, deg_b) f32 (+inf pad)
+    inv_perm: jax.Array             # (N,) int32: node -> row in concat order
+    n_nodes: int
+
+    @staticmethod
+    def from_csr(W) -> "BucketedGraph":
+        """Build from a scipy sparse matrix with undirected traversal
+        semantics (min stored weight per unordered pair, both directions —
+        same contract as shortest_paths.EdgeList.from_csr)."""
+        n = W.shape[0]
+        coo = W.tocoo()
+        lo = np.minimum(coo.row, coo.col).astype(np.int64)
+        hi = np.maximum(coo.row, coo.col).astype(np.int64)
+        keep = lo != hi
+        key = lo[keep] * n + hi[keep]
+        data = coo.data[keep].astype(np.float32)
+        order = np.argsort(key, kind="stable")
+        key_s, w_s = key[order], data[order]
+        uniq, start = np.unique(key_s, return_index=True)
+        w_min = np.minimum.reduceat(w_s, start) if len(w_s) else w_s
+        iu = (uniq // n).astype(np.int32)
+        ju = (uniq % n).astype(np.int32)
+        src = np.concatenate([iu, ju])
+        dst = np.concatenate([ju, iu])
+        w = np.concatenate([w_min, w_min])
+        return BucketedGraph.from_edges(src, dst, w, n)
+
+    @staticmethod
+    def from_edges(src, dst, w, n_nodes: int) -> "BucketedGraph":
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        w = np.asarray(w, np.float32)
+        if (w < 0).any():
+            raise ValueError("Negative weights")
+        order = np.argsort(dst, kind="stable")
+        src, w = src[order], w[order]
+        counts = np.bincount(dst, minlength=n_nodes).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:n_nodes]
+        e_total = len(src)
+
+        max_deg = int(counts.max()) if n_nodes else 0
+        caps = [8]
+        while caps[-1] < max(max_deg, 8):
+            caps.append(caps[-1] * 2)
+        caps_arr = np.asarray(caps)
+        bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
+
+        nbrs, wts, node_order = [], [], []
+        for b, cap in enumerate(caps):
+            nodes_b = np.nonzero(bucket_of == b)[0]
+            node_order.append(nodes_b)
+            if nodes_b.size == 0:
+                nbrs.append(np.zeros((0, cap), np.int32))
+                wts.append(np.zeros((0, cap), np.float32))
+                continue
+            offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
+            valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
+            offs = np.clip(offs, 0, max(e_total - 1, 0))
+            nb = np.where(valid, src[offs] if e_total else 0, 0).astype(np.int32)
+            wb = np.where(valid, w[offs] if e_total else _INF, _INF).astype(np.float32)
+            nbrs.append(nb)
+            wts.append(wb)
+
+        row_nodes = np.concatenate(node_order) if node_order else np.empty(0, np.int64)
+        inv_perm = np.empty(n_nodes, np.int32)
+        inv_perm[row_nodes] = np.arange(n_nodes, dtype=np.int32)
+
+        return BucketedGraph(
+            nbrs=tuple(jnp.asarray(a) for a in nbrs),
+            wts=tuple(jnp.asarray(a) for a in wts),
+            inv_perm=jnp.asarray(inv_perm),
+            n_nodes=int(n_nodes),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def _ell_run(nbrs, wts, inv_perm, d0, max_iters, n_nodes):
+    def sweep(d):
+        parts = []
+        for nb, wb in zip(nbrs, wts):
+            if nb.shape[0] == 0:
+                parts.append(jnp.zeros((0, d.shape[1]), d.dtype))
+                continue
+            cand = d[nb] + wb[..., None]           # (N_b, deg, K) gathers
+            parts.append(jnp.min(cand, axis=1))    # (N_b, K)
+        relaxed = jnp.concatenate(parts, axis=0)[inv_perm]
+        return jnp.minimum(d, relaxed)
+
+    def cond(state):
+        _, changed, it = state
+        return jnp.logical_and(changed, it < max_iters)
+
+    def body(state):
+        d, _, it = state
+        d_new = sweep(d)
+        return d_new, jnp.any(d_new < d), it + 1
+
+    d, _, iters = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True), 0))
+    return d, iters
+
+
+def multi_source_shortest_paths_ell(
+    graph: BucketedGraph,
+    sources: np.ndarray,
+    d0: Optional[jax.Array] = None,
+    max_iters: Optional[int] = None,
+    return_iters: bool = False,
+):
+    """(N, K) distances via scatter-free bucketed relaxation."""
+    sources = jnp.asarray(sources, jnp.int32)
+    k = sources.shape[0]
+    n = graph.n_nodes
+    if d0 is None:
+        d0 = jnp.full((n, k), jnp.inf)
+        d0 = d0.at[sources, jnp.arange(k)].set(0.0)
+    if max_iters is None:
+        max_iters = n + 1
+    d, iters = _ell_run(graph.nbrs, graph.wts, graph.inv_perm, d0,
+                        jnp.int32(max_iters), n)
+    return (d, iters) if return_iters else d

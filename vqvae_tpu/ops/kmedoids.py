@@ -44,16 +44,18 @@ GraphLike = Union["scipy.sparse.spmatrix", EdgeList]  # noqa: F821
 def _resolve(W: GraphLike, K: int, backend: str) -> Tuple[GraphLike, str, int]:
     """Pick the backend once and pre-convert the graph for it, so repeated
     shortest-path calls don't re-convert."""
-    from scipy import sparse
+    from .ell import BucketedGraph
 
     if isinstance(W, EdgeList):
+        return W, "device", W.n_nodes
+    if isinstance(W, BucketedGraph):
         return W, "device", W.n_nodes
     n = W.shape[0]
     if backend == "auto":
         work = float(W.nnz) * max(K, 1)
         backend = "host" if work < HOST_WORK_THRESHOLD and _native_ok() else "device"
     if backend == "device":
-        return EdgeList.from_csr(W), "device", n
+        return BucketedGraph.from_csr(W), "device", n
     return W.tocsr(), backend, n
 
 
