@@ -41,22 +41,61 @@ from .shortest_paths import EdgeList
 GraphLike = Union["scipy.sparse.spmatrix", EdgeList]  # noqa: F821
 
 
-def _resolve(W: GraphLike, K: int, backend: str) -> Tuple[GraphLike, str, int]:
-    """Pick the backend once and pre-convert the graph for it, so repeated
-    shortest-path calls don't re-convert."""
-    from .ell import BucketedGraph
+class GraphHandle:
+    """Per-call backend dispatch with cached graph conversions.
 
-    if isinstance(W, EdgeList):
-        return W, "device", W.n_nodes
-    if isinstance(W, BucketedGraph):
-        return W, "device", W.n_nodes
-    n = W.shape[0]
-    if backend == "auto":
-        work = float(W.nnz) * max(K, 1)
-        backend = "host" if work < HOST_WORK_THRESHOLD and _native_ok() else "device"
-    if backend == "device":
-        return BucketedGraph.from_csr(W), "device", n
-    return W.tocsr(), backend, n
+    k-means++ rounds relax from a handful of sources (host Dijkstra wins)
+    while the final assignment relaxes from all K (device wins) — so the
+    backend must be chosen per call by its actual work, not once per fit.
+    """
+
+    def __init__(self, W, backend: str = "auto"):
+        from scipy import sparse
+
+        from .ell import BucketedGraph
+
+        self._forced = None if backend == "auto" else backend
+        self._csr = None
+        self._bucketed = None
+        self._edges = None
+        if isinstance(W, EdgeList):
+            self._edges = W
+            self.n_nodes = W.n_nodes
+            self.nnz = int(W.src.shape[0])
+        elif isinstance(W, BucketedGraph):
+            self._bucketed = W
+            self.n_nodes = W.n_nodes
+            self.nnz = int(sum(b.size for b in W.nbrs))
+        elif sparse.issparse(W):
+            self._csr = W.tocsr()
+            self.n_nodes = W.shape[0]
+            self.nnz = int(W.nnz)
+        else:
+            raise TypeError(f"unsupported graph type {type(W)}")
+
+    def distances(self, sources: np.ndarray) -> np.ndarray:
+        sources = np.asarray(sources)
+        backend = self._forced
+        if backend is None:
+            work = float(self.nnz) * max(len(sources), 1)
+            host_ok = self._csr is not None and _native_ok()
+            backend = "host" if (work < HOST_WORK_THRESHOLD and host_ok) else "device"
+        if backend == "host":
+            if self._csr is None:
+                raise ValueError("host backend needs a scipy CSR graph")
+            return multi_source_distances(self._csr, sources, "host")
+        if self._edges is not None:
+            return multi_source_distances(self._edges, sources, "device")
+        if self._bucketed is None:
+            from .ell import BucketedGraph
+
+            self._bucketed = BucketedGraph.from_csr(self._csr)
+        return multi_source_distances(self._bucketed, sources, "device")
+
+
+def _resolve(W: GraphLike, K: int, backend: str) -> Tuple["GraphHandle", str, int]:
+    handle = W if isinstance(W, GraphHandle) else GraphHandle(W, backend)
+    return handle, backend, handle.n_nodes
 
 
 def _safe_sq_probs(d_min: np.ndarray, centers: List[int]) -> np.ndarray:
@@ -82,8 +121,7 @@ def kpp_initialization(W: GraphLike, K: int, seed: int = 42,
     d_min = np.full(n, np.inf, dtype=np.float32)
 
     for _ in range(1, K):
-        d_new = multi_source_distances(graph, np.asarray([centers[-1]]),
-                                       backend)[:, 0]
+        d_new = graph.distances(np.asarray([centers[-1]]))[:, 0]
         d_min = np.minimum(d_min, d_new)
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
@@ -110,19 +148,18 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
     if rounds == 0:
         return centers
 
+    # every round samples the same number of candidates so the relaxation
+    # compiles once (shape-stable); surplus centers are trimmed at the end
     per_round = int(np.ceil((K - 1) / rounds))
-    new_centers = [centers[0]]
-    for _ in range(rounds):
+    new_centers = [centers[0]] + [centers[0]] * (per_round - 1)
+    for r in range(rounds):
         # relax from the centers added last round (one batched pass)
-        d_new = multi_source_distances(graph,
-                                       np.asarray(new_centers, np.int64),
-                                       backend)
+        d_new = graph.distances(np.asarray(new_centers, np.int64))
         d_min = np.minimum(d_min, d_new.min(axis=1))
 
-        remaining = K - len(centers)
-        if remaining <= 0:
+        if len(centers) >= K:
             break
-        m = min(per_round, remaining)
+        m = per_round
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
         if total <= 0:
@@ -147,7 +184,7 @@ def assign_points_to_medoids(W: GraphLike, medoids: np.ndarray,
     """One multi-source pass; returns (assign (N,), dist_to_assigned (N,))."""
     medoids = np.asarray(medoids, np.int64)
     graph, backend, _ = _resolve(W, len(medoids), backend)
-    d = multi_source_distances(graph, medoids, backend)  # (N, K)
+    d = graph.distances(medoids)  # (N, K)
     assign = d.argmin(axis=1)
     dist = d[np.arange(d.shape[0]), assign]
     return assign.astype(np.int64), dist
