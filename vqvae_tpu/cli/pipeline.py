@@ -70,29 +70,33 @@ def run_pipeline(
                 continue
             print(f"[pipeline] === stage: {stage} ===")
             t0 = time.perf_counter()
+            from ..utils.profiling import profile_trace
+
             try:
-                if stage == "vae":
-                    train_vae_main(cfg)
-                elif stage == "codebook":
-                    builder = cfg.get("builder")
-                    if builder is None:  # infer for reference-style configs
-                        if "riemannian" in cfg:
-                            builder = "legacy_riemannian"
-                        elif "model" in cfg:
-                            builder = "legacy"
+                with profile_trace(stage):
+                    if stage == "vae":
+                        train_vae_main(cfg)
+                    elif stage == "codebook":
+                        builder = cfg.get("builder")
+                        if builder is None:  # infer reference-style configs
+                            if "riemannian" in cfg:
+                                builder = "legacy_riemannian"
+                            elif "model" in cfg:
+                                builder = "legacy"
+                            else:
+                                builder = "spatial"
+                        if builder == "spatial":
+                            build_codebook_main(cfg)
                         else:
-                            builder = "spatial"
-                    if builder == "spatial":
-                        build_codebook_main(cfg)
-                    else:
-                        build_codebook_legacy_main(
-                            cfg, riemannian=(builder == "legacy_riemannian"))
-                elif stage == "transformer":
-                    train_transformer_main(cfg)
-                elif stage == "generate":
-                    generate_samples_main(cfg)
-                elif stage == "evaluate":
-                    evaluate_model_main(cfg)
+                            build_codebook_legacy_main(
+                                cfg,
+                                riemannian=(builder == "legacy_riemannian"))
+                    elif stage == "transformer":
+                        train_transformer_main(cfg)
+                    elif stage == "generate":
+                        generate_samples_main(cfg)
+                    elif stage == "evaluate":
+                        evaluate_model_main(cfg)
             except Exception:
                 traceback.print_exc()
                 if stage in NON_CRITICAL:

@@ -20,9 +20,10 @@ import numpy as np
 
 from .shortest_paths import EdgeList, multi_source_shortest_paths
 
-# below this K*E work estimate the host Dijkstra is faster than paying
-# device dispatch + relaxation sweeps (measured on v5e vs 8-thread host)
-HOST_WORK_THRESHOLD = 2e8
+# below this K*E work estimate the threaded host Dijkstra beats device
+# dispatch + bucketed-graph conversion + relaxation sweeps (measured on
+# v5e vs the 8-thread native Dijkstra: crossover ~1e9 at 49k-196k nodes)
+HOST_WORK_THRESHOLD = 1e9
 
 
 def multi_source_distances(
