@@ -83,3 +83,28 @@ def test_source_sharded_shortest_paths_match_replicated():
 
     ref = dijkstra(W, directed=False, indices=sources).T
     np.testing.assert_allclose(plain, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_source_sharded_matches():
+    """The ELL engine's distance matrix also shards its source axis."""
+    from scipy.sparse.csgraph import dijkstra
+
+    from vqvae_tpu.ops import build_knn_graph
+    from vqvae_tpu.ops.ell import BucketedGraph, multi_source_shortest_paths_ell
+
+    rng = np.random.RandomState(1)
+    z = rng.randn(150, 6).astype(np.float32)
+    W, _ = build_knn_graph(z, k=5, sym="union")
+    g = BucketedGraph.from_csr(W)
+    sources = np.arange(16, dtype=np.int64)
+
+    plain = np.asarray(multi_source_shortest_paths_ell(g, sources))
+
+    mesh = get_mesh()
+    d0 = jnp.full((150, 16), jnp.inf).at[jnp.asarray(sources),
+                                         jnp.arange(16)].set(0.0)
+    d0 = jax.device_put(d0, NamedSharding(mesh, P(None, "data")))
+    sharded = np.asarray(multi_source_shortest_paths_ell(g, sources, d0=d0))
+    np.testing.assert_allclose(plain, sharded, rtol=1e-6)
+    ref = dijkstra(W, directed=False, indices=sources).T
+    np.testing.assert_allclose(plain, ref, rtol=1e-5, atol=1e-4)

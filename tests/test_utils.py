@@ -1,0 +1,80 @@
+"""Utils-layer tests: config, checkpointing, codebook IO, images."""
+import numpy as np
+import pytest
+
+from vqvae_tpu.config import Config, load_config, save_config
+from vqvae_tpu.utils.checkpoint import Checkpointer, auto_detect_vae_config
+from vqvae_tpu.utils.images import make_grid, save_image_grid, load_image
+from vqvae_tpu.cli.build_codebook import save_codebook_artifacts, load_codebook
+
+
+def test_config_access_and_merge(tmp_path):
+    save_config({"a": 1, "b": {"c": 2}}, tmp_path / "c.yaml")
+    cfg = load_config(tmp_path / "c.yaml", overrides={"b": {"d": 3}})
+    assert cfg.a == 1 and cfg.b.c == 2 and cfg.b.d == 3
+    assert cfg.get("missing", "x") == "x"
+    with pytest.raises(AttributeError):
+        _ = cfg.nope
+    cfg2 = cfg.replace(a=9)
+    assert cfg2.a == 9 and cfg.a == 1
+
+
+def test_checkpointer_best_latest_roundtrip(tmp_path):
+    ck = Checkpointer(tmp_path)
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": 5}
+    ck.save("best", state)
+    ck.save("latest", {**state, "step": 9})
+    assert ck.exists("best") and ck.exists("latest")
+    r = ck.restore("best")
+    np.testing.assert_array_equal(r["params"]["w"], state["params"]["w"])
+    assert int(ck.restore("latest")["step"]) == 9
+    # overwrite best
+    ck.save("best", {**state, "step": 7})
+    assert int(ck.restore("best")["step"]) == 7
+    with pytest.raises(FileNotFoundError):
+        ck.restore("nope")
+
+
+def test_auto_detect_vae_config():
+    import jax
+
+    from vqvae_tpu.models import VAE
+
+    m = VAE(in_channels=3, latent_dim=7, topology="spatial",
+            output_image_size=32, norm_type="batch",
+            enc_channels=(8, 16, 32), dec_channels=(32, 16, 8))
+    v = m.init({"params": jax.random.key(0)},
+               np.zeros((1, 32, 32, 3), np.float32))
+    cfg = auto_detect_vae_config(v["params"])
+    assert cfg["in_channels"] == 3
+    assert cfg["enc_channels"] == (8, 16, 32)
+    assert cfg["dec_channels"] == (32, 16, 8)
+    assert cfg["latent_dim"] == 7
+    assert cfg["topology"] == "spatial"
+    assert cfg["norm_type"] == "batch"
+    assert cfg["output_image_size"] == 32
+
+
+def test_codebook_npz_and_pt_roundtrip(tmp_path):
+    medoids = np.asarray([3, 1, 4], np.int64)
+    z_medoid = np.random.RandomState(0).randn(3, 8).astype(np.float32)
+    codes = np.random.RandomState(1).randint(-1, 3, (5, 4, 4)).astype(np.int32)
+    save_codebook_artifacts(tmp_path, medoids, z_medoid, codes, {"K": 3})
+
+    for name in ["codebook.npz", "codebook.pt"]:
+        cb = load_codebook(tmp_path / name)
+        np.testing.assert_array_equal(cb["medoid_indices"], medoids)
+        np.testing.assert_allclose(cb["z_medoid"], z_medoid, atol=1e-6)
+        assert cb["config"]["K"] == 3
+    np.testing.assert_array_equal(np.load(tmp_path / "codes.npy"), codes)
+
+
+def test_image_grid_roundtrip(tmp_path):
+    imgs = np.random.RandomState(0).rand(5, 8, 8, 1).astype(np.float32)
+    grid = make_grid(imgs, nrow=3, padding=1)
+    assert grid.shape == (2 * 9 + 1, 3 * 9 + 1, 1)
+    p = save_image_grid(imgs, tmp_path / "g.png", nrow=3, padding=1)
+    loaded = load_image(p)
+    assert loaded.shape == grid.shape
+    np.testing.assert_allclose(loaded, grid, atol=2 / 255)

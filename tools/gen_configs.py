@@ -97,7 +97,7 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
             "vae": vae_arch,
             "graph": {"k": 10 if small else 20, "sym": "union"},
             "quantize": {"K": K, "init": kpp_init, "seed": 42},
-            "system": {"batch_size": 512},
+            "system": {"batch_size": 4096},
         }
     else:
         codebook = {
@@ -115,7 +115,7 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
         }
         if distance == "geodesic":
             codebook["riemannian"] = {"mode": "subset", "max_edges": 5000,
-                                      "batch_size": 512}
+                                      "batch_size": 4096}
 
     num_tokens = K if spatial else K + 1  # vanilla adds a BOS token
     seq_len = 16 if spatial else 2
