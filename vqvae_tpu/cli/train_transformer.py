@@ -83,6 +83,18 @@ def train_transformer_main(cfg: Config) -> Path:
     seq_len = train_loader.x.shape[1]
     state = engine.init_state(seq_len=seq_len,
                               batch_size=int(data_cfg["batch_size"]))
+    if bool(cfg.get("resume", False)):
+        from ..utils.checkpoint import Checkpointer
+
+        ckptr = Checkpointer(out_dir / "checkpoints")
+        if ckptr.exists("latest"):
+            restored = ckptr.restore("latest", target={
+                "params": state.params, "opt_state": state.opt_state,
+                "step": 0, "epoch": 0})
+            state = state.replace(params=restored["params"],
+                                  opt_state=restored["opt_state"],
+                                  step=restored["step"])
+            print(f"[transformer] resumed from epoch {restored['epoch']}")
     engine.train(state, train_loader, val_loader,
                  num_epochs=int(train_cfg["epochs"]),
                  checkpoint_dir=out_dir / "checkpoints",

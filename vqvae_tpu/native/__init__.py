@@ -46,6 +46,10 @@ def _load() -> ctypes.CDLL:
         i64p, i32p, f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p,
         ctypes.c_int]
     lib.vq_dijkstra_multi_source.restype = None
+    lib.vq_dijkstra_multi_source_pred.argtypes = [
+        i64p, i32p, f32p, ctypes.c_int64, i32p, ctypes.c_int64, f32p, i32p,
+        ctypes.c_int]
+    lib.vq_dijkstra_multi_source_pred.restype = None
     lib.vq_connected_components.argtypes = [i64p, i32p, ctypes.c_int64, i32p]
     lib.vq_connected_components.restype = ctypes.c_int64
     lib.vq_knn_exact.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64,
@@ -72,14 +76,26 @@ def _ptr(a: np.ndarray, typ):
     return a.ctypes.data_as(ctypes.POINTER(typ))
 
 
-def dijkstra_multi_source(W, sources) -> np.ndarray:
-    """(K, N) float32 shortest-path distances, threaded over sources."""
+def dijkstra_multi_source(W, sources, return_predecessors: bool = False):
+    """(K, N) float32 shortest-path distances, threaded over sources.
+
+    With ``return_predecessors`` also returns (K, N) int32 predecessors
+    using scipy's -9999 sentinel (reference geo_shortest_paths.py:36-49
+    API parity)."""
     lib = _load()
     indptr, indices, data, n = _csr_parts(W)
     if data.size and (data < 0).any():
         raise ValueError("Negative weights")
     sources = np.ascontiguousarray(sources, np.int32)
     out = np.empty((len(sources), n), np.float32)
+    if return_predecessors:
+        pred = np.empty((len(sources), n), np.int32)
+        lib.vq_dijkstra_multi_source_pred(
+            _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+            _ptr(data, ctypes.c_float), n, _ptr(sources, ctypes.c_int32),
+            len(sources), _ptr(out, ctypes.c_float),
+            _ptr(pred, ctypes.c_int32), _threads())
+        return out, pred
     lib.vq_dijkstra_multi_source(
         _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
         _ptr(data, ctypes.c_float), n, _ptr(sources, ctypes.c_int32),

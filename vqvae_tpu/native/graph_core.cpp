@@ -28,10 +28,14 @@ namespace {
 
 constexpr float kInf = std::numeric_limits<float>::infinity();
 
+// scipy.sparse.csgraph uses -9999 for "no predecessor"
+constexpr int32_t kNoPred = -9999;
+
 void dijkstra_one(const int64_t* indptr, const int32_t* indices,
                   const float* weights, int64_t n, int32_t source,
-                  float* dist) {
+                  float* dist, int32_t* pred /* nullable */) {
   std::fill(dist, dist + n, kInf);
+  if (pred != nullptr) std::fill(pred, pred + n, kNoPred);
   using Item = std::pair<float, int32_t>;
   std::priority_queue<Item, std::vector<Item>, std::greater<Item>> heap;
   dist[source] = 0.0f;
@@ -45,6 +49,7 @@ void dijkstra_one(const int64_t* indptr, const int32_t* indices,
       float nd = d + weights[e];
       if (nd < dist[v]) {
         dist[v] = nd;
+        if (pred != nullptr) pred[v] = u;
         heap.emplace(nd, v);
       }
     }
@@ -102,7 +107,21 @@ void vq_dijkstra_multi_source(const int64_t* indptr, const int32_t* indices,
                               const int32_t* sources, int64_t k,
                               float* out, int threads) {
   run_threaded(k, threads, [&](int64_t s) {
-    dijkstra_one(indptr, indices, weights, n, sources[s], out + s * n);
+    dijkstra_one(indptr, indices, weights, n, sources[s], out + s * n,
+                 nullptr);
+  });
+}
+
+// As above, also filling predecessors (k, n) int32 with scipy's -9999
+// sentinel for source/unreachable nodes.
+void vq_dijkstra_multi_source_pred(const int64_t* indptr,
+                                   const int32_t* indices,
+                                   const float* weights, int64_t n,
+                                   const int32_t* sources, int64_t k,
+                                   float* out, int32_t* pred, int threads) {
+  run_threaded(k, threads, [&](int64_t s) {
+    dijkstra_one(indptr, indices, weights, n, sources[s], out + s * n,
+                 pred + s * n);
   });
 }
 
