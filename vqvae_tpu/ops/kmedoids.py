@@ -275,3 +275,16 @@ def fit_kmedoids_with_connectivity_check(
         "method": "tpu_kmedoids",
     })
     return medoids, assign, qe, metadata
+
+
+if __name__ == "__main__":
+    # module self-test (reference kmeans_optimized.py:230-248 parity)
+    from .graph import build_knn_graph
+
+    rng = np.random.default_rng(42)
+    z = rng.standard_normal((1000, 64)).astype(np.float32)
+    W, _ = build_knn_graph(z, k=10)
+    medoids, assign, qe = fit_kmedoids(W, K=50, init="kpp", seed=42)
+    print(f"medoids={len(medoids)} assignments={len(assign)} qe={qe:.3f}")
+    print(f"cluster sizes: min={np.bincount(assign).min()} "
+          f"max={np.bincount(assign).max()}")
