@@ -14,7 +14,7 @@ Encoder: 32->16->8 stride-2 stem, n_res ResBlocks, 1x1 out conv -> z_e of
 """
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,8 +14,6 @@ Two first-party backends cover the reference's scipy Dijkstra role:
 """
 from __future__ import annotations
 
-from typing import Union
-
 import numpy as np
 
 from .shortest_paths import EdgeList, multi_source_shortest_paths

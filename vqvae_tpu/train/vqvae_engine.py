@@ -17,7 +17,7 @@ no TPU analog; bf16 needs no loss scaling). The NaN guard becomes a
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
