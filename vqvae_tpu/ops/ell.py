@@ -78,25 +78,42 @@ class BucketedGraph(NamedTuple):
         caps_arr = np.asarray(caps)
         bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
 
-        nbrs, wts, node_order = [], [], []
+        # rows per bucket are padded to a chunk multiple so the sweep can
+        # scan fixed-size row chunks (bounding peak memory at (chunk, K)
+        # instead of (N_b, deg, K), which OOMs HBM at ~1M nodes)
+        nbrs, wts, node_order, row_offsets = [], [], [], []
+        offset = 0
         for b, cap in enumerate(caps):
             nodes_b = np.nonzero(bucket_of == b)[0]
             node_order.append(nodes_b)
+            chunk_b = _row_chunk(nodes_b.size)
+            n_pad = max(chunk_b, ((nodes_b.size + chunk_b - 1) // chunk_b)
+                        * chunk_b) if nodes_b.size else 0
             if nodes_b.size == 0:
                 nbrs.append(np.zeros((0, cap), np.int32))
                 wts.append(np.zeros((0, cap), np.float32))
+                row_offsets.append(offset)
                 continue
             offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
             valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
             offs = np.clip(offs, 0, max(e_total - 1, 0))
             nb = np.where(valid, src[offs] if e_total else 0, 0).astype(np.int32)
             wb = np.where(valid, w[offs] if e_total else _INF, _INF).astype(np.float32)
+            if n_pad > nodes_b.size:  # dummy rows: node 0 with +inf weights
+                pad_rows = n_pad - nodes_b.size
+                nb = np.concatenate([nb, np.zeros((pad_rows, cap), np.int32)])
+                wb = np.concatenate([wb, np.full((pad_rows, cap), _INF,
+                                                 np.float32)])
             nbrs.append(nb)
             wts.append(wb)
+            row_offsets.append(offset)
+            offset += n_pad
 
-        row_nodes = np.concatenate(node_order) if node_order else np.empty(0, np.int64)
         inv_perm = np.empty(n_nodes, np.int32)
-        inv_perm[row_nodes] = np.arange(n_nodes, dtype=np.int32)
+        for b, nodes_b in enumerate(node_order):
+            if nodes_b.size:
+                inv_perm[nodes_b] = (row_offsets[b]
+                                     + np.arange(nodes_b.size)).astype(np.int32)
 
         return BucketedGraph(
             nbrs=tuple(jnp.asarray(a) for a in nbrs),
@@ -106,16 +123,42 @@ class BucketedGraph(NamedTuple):
         )
 
 
+def _row_chunk(n_rows: int) -> int:
+    """Row-chunk size bounding the sweep's live buffers to (chunk, K)."""
+    if n_rows <= 0:
+        return 1
+    c = 1
+    while c < min(n_rows, 16384):
+        c *= 2
+    return c
+
+
 @functools.partial(jax.jit, static_argnames=("n_nodes",))
 def _ell_run(nbrs, wts, inv_perm, d0, max_iters, n_nodes):
     def sweep(d):
+        k = d.shape[1]
         parts = []
         for nb, wb in zip(nbrs, wts):
             if nb.shape[0] == 0:
-                parts.append(jnp.zeros((0, d.shape[1]), d.dtype))
+                parts.append(jnp.zeros((0, k), d.dtype))
                 continue
-            cand = d[nb] + wb[..., None]           # (N_b, deg, K) gathers
-            parts.append(jnp.min(cand, axis=1))    # (N_b, K)
+            rows, deg = nb.shape
+            chunk = _row_chunk(rows)
+            nbc = nb.reshape(rows // chunk, chunk, deg)
+            wbc = wb.reshape(rows // chunk, chunk, deg)
+
+            def chunk_fn(args):
+                nbi, wbi = args  # (chunk, deg)
+
+                def relax_j(j, acc):
+                    cand = d[nbi[:, j]] + wbi[:, j][:, None]  # (chunk, K)
+                    return jnp.minimum(acc, cand)
+
+                init = jnp.full((chunk, k), jnp.inf, d.dtype)
+                return jax.lax.fori_loop(0, deg, relax_j, init)
+
+            part = jax.lax.map(chunk_fn, (nbc, wbc))  # (n_chunks, chunk, K)
+            parts.append(part.reshape(rows, k))
         relaxed = jnp.concatenate(parts, axis=0)[inv_perm]
         return jnp.minimum(d, relaxed)
 
