@@ -152,7 +152,8 @@ void vq_knn_exact(const float* z, int64_t n, int64_t d, int64_t k,
   const int64_t kk = std::min(k, n);
   run_threaded(n, threads, [&](int64_t i) {
     const float* qi = z + i * d;
-    std::vector<std::pair<float, int64_t>> cand(n);
+    thread_local std::vector<std::pair<float, int64_t>> cand;
+    cand.resize(n);
     for (int64_t j = 0; j < n; ++j) {
       const float* xj = z + j * d;
       float acc = 0.0f;

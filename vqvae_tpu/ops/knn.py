@@ -7,6 +7,10 @@ the MXU in f32, streamed over database tiles with a running top-k merge, so
 memory stays O(query_tile * db_tile) regardless of N. The reference's 50k
 ``size_threshold`` backend switch becomes a tile-size knob.
 
+Queries are processed in host-level blocks (default 128k rows): every block
+reuses ONE compiled program (block shapes are constant), which bounds both
+device memory and program size at million-row scale.
+
 Supports euclidean and cosine metrics with sklearn/FAISS-compatible
 semantics (cosine distance = 1 - cosine similarity on normalized vectors,
 reference knn_graph_optimized.py:86-97).
@@ -14,6 +18,7 @@ reference knn_graph_optimized.py:86-97).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -23,17 +28,22 @@ import numpy as np
 _INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile", "db_tile"))
-def _knn_device(
-    z: jax.Array,        # (Np, D) padded database/query matrix, f32
-    n_valid: jax.Array,  # scalar int32, true number of rows
+@functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile",
+                                             "db_tile"))
+def _knn_block(
+    zq: jax.Array,        # (Qp, D) padded query block, f32 (pre-normalized
+                          #  for cosine)
+    z: jax.Array,         # (Np, D) padded database, f32 (pre-normalized)
+    n_valid: jax.Array,   # scalar int32: true db rows
+    q_valid: jax.Array,   # scalar int32: true query rows in this block
     k: int,
     metric: str,
     query_tile: int,
     db_tile: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    Np, D = z.shape
-    n_qt = Np // query_tile
+    Qp, D = zq.shape
+    Np = z.shape[0]
+    n_qt = Qp // query_tile
     n_dt = Np // db_tile
     # The streaming distance matmul runs at default MXU precision (bf16
     # passes on TPU) and the |q|^2 - 2 q.x + |x|^2 form cancels for
@@ -41,16 +51,13 @@ def _knn_device(
     # re-rank them with exact f32 per-candidate distances.
     k_sel = min(k + 4, Np)
 
-    if metric == "cosine":
-        norms = jnp.linalg.norm(z, axis=1, keepdims=True)
-        z = z / (norms + 1e-8)
-    sq = (z * z).sum(axis=1)  # (Np,)
-
+    db_sq = (z * z).sum(axis=1)  # (Np,)
     row_valid = jnp.arange(Np, dtype=jnp.int32) < n_valid
+    q_row_valid = jnp.arange(Qp, dtype=jnp.int32) < q_valid
 
-    z_q = z.reshape(n_qt, query_tile, D)
-    valid_q = row_valid.reshape(n_qt, query_tile)
-    sq_q = sq.reshape(n_qt, query_tile)
+    zq_t = zq.reshape(n_qt, query_tile, D)
+    qv_t = q_row_valid.reshape(n_qt, query_tile)
+    q_sq_t = (zq * zq).sum(axis=1).reshape(n_qt, query_tile)
 
     def query_step(_, inputs):
         q, qv, qs = inputs  # (T,D), (T,), (T,)
@@ -59,8 +66,9 @@ def _knn_device(
             best_d, best_i = carry  # (T,k_sel), (T,k_sel)
             start = j * db_tile
             x = jax.lax.dynamic_slice_in_dim(z, start, db_tile, axis=0)
-            xs = jax.lax.dynamic_slice_in_dim(sq, start, db_tile, axis=0)
-            xv = jax.lax.dynamic_slice_in_dim(row_valid, start, db_tile, axis=0)
+            xs = jax.lax.dynamic_slice_in_dim(db_sq, start, db_tile, axis=0)
+            xv = jax.lax.dynamic_slice_in_dim(row_valid, start, db_tile,
+                                              axis=0)
             dots = jnp.dot(q, x.T, preferred_element_type=jnp.float32)
             if metric == "cosine":
                 d = 1.0 - dots  # distance = 1 - similarity
@@ -70,7 +78,6 @@ def _knn_device(
             cand_d, cand_j = jax.lax.top_k(-d, k_sel)  # per-tile top-k
             cand_d = -cand_d
             cand_i = (cand_j + start).astype(jnp.int32)
-            # merge running best with tile candidates
             all_d = jnp.concatenate([best_d, cand_d], axis=1)
             all_i = jnp.concatenate([best_i, cand_i], axis=1)
             merged_d, sel = jax.lax.top_k(-all_d, k_sel)
@@ -95,8 +102,8 @@ def _knn_device(
         best_d = jnp.where(qv[:, None], best_d, _INF)
         return None, (best_d, best_i)
 
-    _, (dists, idxs) = jax.lax.scan(query_step, None, (z_q, valid_q, sq_q))
-    return dists.reshape(Np, k), idxs.reshape(Np, k)
+    _, (dists, idxs) = jax.lax.scan(query_step, None, (zq_t, qv_t, q_sq_t))
+    return dists.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
 def knn_search(
@@ -105,13 +112,16 @@ def knn_search(
     metric: str = "euclidean",
     query_tile: int = 1024,
     db_tile: int = 8192,
+    query_block: int = 131_072,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
     Self-matches are *included* (distance 0 at the query row, like the raw
-    sklearn/FAISS queries before self-stripping); graph assembly strips them.
-    ``k`` is capped at N. Padding rows are handled internally; tiles are
-    chosen to align with MXU/VPU lane widths.
+    sklearn/FAISS queries before self-stripping); graph assembly strips
+    them. ``k`` is capped at N.
+
+    ``VQVAE_TPU_KNN_DEVICE_MAX`` (rows, default 4M) routes larger inputs to
+    the native threaded host kernel as an escape hatch.
     """
     z = np.asarray(z, dtype=np.float32)
     if z.ndim != 2:
@@ -121,19 +131,40 @@ def knn_search(
         return (np.empty((n, 0), np.float32), np.empty((n, 0), np.int64))
     k = min(k, n)
 
+    device_max = int(os.environ.get("VQVAE_TPU_KNN_DEVICE_MAX", 4_000_000))
+    if n > device_max and metric == "euclidean":
+        try:
+            from .. import native
+
+            if native.available():
+                return native.knn_exact(z, k)
+        except ImportError:
+            pass
+
     query_tile = max(8, min(query_tile, _round_up(n, 8)))
     db_tile = max(128, min(db_tile, _round_up(n, 128)))
-    n_pad = _round_up(n, int(np.lcm(query_tile, db_tile)))
-    if n_pad > n:
-        z_p = np.zeros((n_pad, z.shape[1]), np.float32)
-        z_p[:n] = z
+    if metric == "cosine":
+        zn = z / (np.linalg.norm(z, axis=1, keepdims=True) + 1e-8)
     else:
-        z_p = z
-    d, i = _knn_device(jnp.asarray(z_p), jnp.int32(n), k, metric,
-                       query_tile, db_tile)
-    d = np.asarray(d[:n])
-    i = np.asarray(i[:n]).astype(np.int64)
-    return d, i
+        zn = z
+
+    n_db_pad = _round_up(n, db_tile)
+    z_db = zn if n_db_pad == n else np.concatenate(
+        [zn, np.zeros((n_db_pad - n, z.shape[1]), np.float32)])
+    z_db_j = jnp.asarray(z_db)
+
+    block = min(_round_up(n, query_tile), _round_up(query_block, query_tile))
+    dists = np.empty((n, k), np.float32)
+    idxs = np.empty((n, k), np.int64)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        q = np.zeros((block, z.shape[1]), np.float32)
+        q[:e - s] = zn[s:e]
+        d, i = _knn_block(jnp.asarray(q), z_db_j, jnp.int32(n),
+                          jnp.int32(e - s), k, metric, query_tile, db_tile)
+        dists[s:e] = np.asarray(d[:e - s])
+        idxs[s:e] = np.asarray(i[:e - s]).astype(np.int64)
+    return dists, idxs
 
 
 def _round_up(x: int, m: int) -> int:
