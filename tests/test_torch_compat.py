@@ -144,3 +144,29 @@ def test_forward_parity(tmp_path, topology, norm):
 
     np.testing.assert_allclose(np.asarray(j_mu), t_mu_np, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(j_dec), t_dec_np, rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("topology", ["flat", "spatial"])
+def test_export_roundtrip(tmp_path, topology):
+    """export -> load must reproduce the flax variables exactly."""
+    from vqvae_tpu.utils.torch_compat import export_reference_vae_checkpoint
+
+    fm = VAE(in_channels=1, enc_channels=ENC, dec_channels=DEC,
+             latent_dim=LATENT, recon_loss="mse", output_image_size=28,
+             norm_type="batch", topology=topology)
+    import jax as _jax
+
+    variables = fm.init({"params": _jax.random.key(7)},
+                        np.zeros((1, 28, 28, 1), np.float32))
+    variables = _jax.device_get(variables)
+
+    p = export_reference_vae_checkpoint(variables, tmp_path / "export.pt",
+                                        topology, ENC, DEC, "batch", epoch=3)
+    back = load_reference_vae_checkpoint(p, topology, ENC, DEC, "batch")
+
+    flat_a = _jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(_jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_b[path]),
+                                   atol=1e-6, err_msg=str(path))

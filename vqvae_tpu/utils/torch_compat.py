@@ -155,3 +155,101 @@ def _to_f32(tree):
     if isinstance(tree, dict):
         return {k: _to_f32(v) for k, v in tree.items()}
     return np.asarray(tree, np.float32)
+
+
+def export_reference_vae_checkpoint(
+    variables: Dict,
+    path: str | Path,
+    topology: str,
+    enc_channels,
+    dec_channels,
+    norm_type: str = "batch",
+    epoch: int = 0,
+) -> Path:
+    """Inverse of ``load_reference_vae_checkpoint``: write a torch ``.pt``
+    in the reference's {'model_state_dict', 'epoch'} format so models
+    trained here load in the reference codebase. Exact round-trip
+    (load(export(v)) == v) is covered by tests."""
+    import torch
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    has_norm = norm_type.lower() == "batch"
+    sd = {}
+
+    def put(key, arr):
+        sd[key] = torch.from_numpy(np.ascontiguousarray(np.asarray(arr, np.float32)))
+
+    for i in range(len(enc_channels)):
+        conv = params["encoder"][f"Conv_{i}"]
+        put(f"encoder.conv_layers.{3 * i}.weight",
+            np.transpose(conv["kernel"], (3, 2, 0, 1)))  # HWIO -> OIHW
+        put(f"encoder.conv_layers.{3 * i}.bias", conv["bias"])
+        if has_norm:
+            bn = params["encoder"][f"BatchNorm_{i}"]
+            st = stats["encoder"][f"BatchNorm_{i}"]
+            put(f"encoder.conv_layers.{3 * i + 1}.weight", bn["scale"])
+            put(f"encoder.conv_layers.{3 * i + 1}.bias", bn["bias"])
+            put(f"encoder.conv_layers.{3 * i + 1}.running_mean", st["mean"])
+            put(f"encoder.conv_layers.{3 * i + 1}.running_var", st["var"])
+
+    for name in ("mu", "logvar"):
+        head = params["encoder"][f"head_{name}"]
+        if topology == "spatial":
+            put(f"encoder.fc_{name}.weight",
+                np.transpose(head["kernel"], (3, 2, 0, 1)))
+        else:
+            ch = enc_channels[-1]
+            w = head["kernel"].T  # (latent, 16C) HWC-major
+            latent = w.shape[0]
+            w = w.reshape(latent, 4, 4, ch).transpose(0, 3, 1, 2).reshape(latent, -1)
+            put(f"encoder.fc_{name}.weight", w)
+        put(f"encoder.fc_{name}.bias", head["bias"])
+
+    def put_convT(key, kernel):
+        # HWIO -> IOHW with spatial flip (inverse of _convT_w)
+        put(key, np.transpose(kernel, (2, 3, 0, 1))[:, :, ::-1, ::-1])
+
+    def put_bn(tkey, fkey):
+        if has_norm:
+            bn = params["decoder"][fkey]
+            st = stats["decoder"][fkey]
+            put(f"{tkey}.weight", bn["scale"])
+            put(f"{tkey}.bias", bn["bias"])
+            put(f"{tkey}.running_mean", st["mean"])
+            put(f"{tkey}.running_var", st["var"])
+
+    if topology == "spatial":
+        put("decoder.conv_in.weight",
+            np.transpose(params["decoder"]["conv_in"]["kernel"], (3, 2, 0, 1)))
+        put("decoder.conv_in.bias", params["decoder"]["conv_in"]["bias"])
+        for i in range(2):
+            ct = params["decoder"][f"ConvTranspose_{i}"]
+            put_convT(f"decoder.deconv_layers.{3 * i}.weight", ct["kernel"])
+            put(f"decoder.deconv_layers.{3 * i}.bias", ct["bias"])
+            put_bn(f"decoder.deconv_layers.{3 * i + 1}", f"BatchNorm_{i}")
+        put_convT("decoder.deconv_layers.6.weight",
+                  params["decoder"]["out"]["kernel"])
+        put("decoder.deconv_layers.6.bias", params["decoder"]["out"]["bias"])
+    else:
+        ch = dec_channels[0]
+        fc = params["decoder"]["fc_in"]
+        w = fc["kernel"].T  # (16C, latent) HWC-major rows
+        latent = w.shape[1]
+        w = w.reshape(4, 4, ch, latent).transpose(2, 0, 1, 3).reshape(-1, latent)
+        put("decoder.fc.weight", w)
+        put("decoder.fc.bias",
+            np.asarray(fc["bias"]).reshape(4, 4, ch).transpose(2, 0, 1).reshape(-1))
+        for i, blk in enumerate(("deconv1", "deconv2")):
+            ct = params["decoder"][f"ConvTranspose_{i}"]
+            put_convT(f"decoder.{blk}.0.weight", ct["kernel"])
+            put(f"decoder.{blk}.0.bias", ct["bias"])
+            put_bn(f"decoder.{blk}.1", f"BatchNorm_{i}")
+        put_convT("decoder.output_layer.weight",
+                  params["decoder"]["out"]["kernel"])
+        put("decoder.output_layer.bias", params["decoder"]["out"]["bias"])
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"model_state_dict": sd, "epoch": int(epoch)}, path)
+    return path
