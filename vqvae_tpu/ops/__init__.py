@@ -20,8 +20,17 @@ from .kmedoids import (
     compute_quantization_error,
 )
 from .riemannian import edge_lengths_riemannian
+from .ell import BucketedGraph, multi_source_shortest_paths_ell
+from .kmeans_euclidean import fit_kmeans
+from .pallas_assign import nearest_codes
+from . import geo_compat
 
 __all__ = [
+    "BucketedGraph",
+    "multi_source_shortest_paths_ell",
+    "fit_kmeans",
+    "nearest_codes",
+    "geo_compat",
     "knn_search",
     "build_knn_graph",
     "build_knn_graph_auto",
