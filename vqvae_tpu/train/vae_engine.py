@@ -64,7 +64,6 @@ class VAEEngine:
                                  steps_per_epoch)
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
-        self._encode_step = self._build_encode_step()
 
     # -- state ---------------------------------------------------------------
     def init_state(self, sample_images: np.ndarray) -> TrainState:
@@ -150,19 +149,6 @@ class VAEEngine:
             }
 
         return eval_step
-
-    def _build_encode_step(self):
-        model = self.model
-
-        @jax.jit
-        def encode_step(state: TrainState, images, rng):
-            variables = self._variables(state.params, state.batch_stats)
-            mu, logvar = model.apply(variables, images, False,
-                                     method=model.encode)
-            z = reparameterize(rng, mu, logvar)
-            return z, mu, logvar
-
-        return encode_step
 
     # -- device-resident epoch path -------------------------------------------
     def _build_epoch_fns(self, batch_size: int):
@@ -426,19 +412,35 @@ class VAEEngine:
 
     # -- artifact dumps --------------------------------------------------------
     def dump_latents(self, state, loader: DataLoader, out_dir: Path) -> Path:
-        zs, mus, lvs, ys = [], [], [], []
+        """Full-dataset encode sweep in ONE jitted scan (dataset order, so
+        latents align with labels/codes downstream). Replaces the
+        reference's second per-batch forward pass (engine.py:153-155)."""
+        model = self.model
+        bs = loader.batch_size
+        data, _, n_steps, n_pad = self._device_dataset(loader, bs)
+        n = loader.num_examples
         rng = jax.random.key(self.seed + 2)
-        for i, (images, labels, mask) in enumerate(loader.epoch(0) if not loader.shuffle
-                                                   else _unshuffled(loader)):
-            z, mu, lv = self._encode_step(state, jnp.asarray(images),
-                                          jax.random.fold_in(rng, i))
-            valid = mask > 0
-            zs.append(np.asarray(z)[valid])
-            mus.append(np.asarray(mu)[valid])
-            lvs.append(np.asarray(lv)[valid])
-            ys.append(labels[valid])
-        return save_latents(out_dir, np.concatenate(zs), np.concatenate(mus),
-                            np.concatenate(lvs), np.concatenate(ys))
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def encode_sweep(state, data, rng, n_steps):
+            variables = self._variables(state.params, state.batch_stats)
+            idx = jnp.arange(n_steps * bs).reshape(n_steps, bs)
+
+            def body(carry, ib):
+                images = jnp.take(data, ib, axis=0)
+                mu, logvar = model.apply(variables, images, False,
+                                         method=model.encode)
+                z = reparameterize(jax.random.fold_in(rng, ib[0]), mu, logvar)
+                return carry, (z, mu, logvar)
+
+            _, (z, mu, lv) = jax.lax.scan(body, None, idx)
+            flat = lambda a: a.reshape(-1, *a.shape[2:])  # noqa: E731
+            return flat(z), flat(mu), flat(lv)
+
+        z, mu, lv = jax.device_get(encode_sweep(state, data, rng,
+                                                n_steps=n_steps))
+        return save_latents(out_dir, np.asarray(z)[:n], np.asarray(mu)[:n],
+                            np.asarray(lv)[:n], loader.split.labels)
 
     def _save_recon_grid(self, state, val_loader: DataLoader, output_dir: Path,
                          logger=None) -> None:
@@ -455,9 +457,3 @@ class VAEEngine:
             logger.log_artifact(path)
 
 
-def _unshuffled(loader: DataLoader):
-    """Deterministic pass over a shuffled loader's data (for latent dumps —
-    latents must align with dataset order for labels/codes downstream)."""
-    tmp = DataLoader(loader.split, loader.batch_size, shuffle=False,
-                     augment=False, seed=0)
-    return tmp.epoch(0)
