@@ -8,6 +8,10 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     for stage in STAGES:
         parser.add_argument(f"--skip-{stage}", action="store_true")
+    parser.add_argument("--skip-generation", action="store_true",
+                        dest="skip_generate")
+    parser.add_argument("--skip-evaluation", action="store_true",
+                        dest="skip_evaluate")
     args = parser.parse_args()
     skip = {s for s in STAGES if getattr(args, f"skip_{s}")}
     run_pipeline("configs/fashionmnist/spatial/geodesic", skip=skip)

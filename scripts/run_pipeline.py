@@ -20,6 +20,11 @@ if __name__ == "__main__":
                         help="configs/<dataset>/<variant>/<distance> directory")
     for stage in STAGES:
         parser.add_argument(f"--skip-{stage}", action="store_true")
+    # reference flag-name aliases (run_*_pipeline.py:36-37)
+    parser.add_argument("--skip-generation", action="store_true",
+                        dest="skip_generate")
+    parser.add_argument("--skip-evaluation", action="store_true",
+                        dest="skip_evaluate")
     parser.add_argument("--timings-out", type=str, default=None,
                         help="write per-stage wall-clock JSON here")
     args = parser.parse_args()
