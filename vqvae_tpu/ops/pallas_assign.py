@@ -35,15 +35,18 @@ def _assign_kernel(k_valid_ref, z_ref, cb_ref, cb_sq_ref, idx_ref, dist_ref):
     cb = cb_ref[:]                    # (K, D) f32
     dots = jax.lax.dot_general(
         z, cb, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)          # (T, K)
+        preferred_element_type=jnp.float32,
+        # full f32 multiply passes: default MXU bf16 precision flips ~0.6%
+        # of argmins on near-tied codes
+        precision=jax.lax.Precision.HIGHEST)          # (T, K)
     d2 = cb_sq_ref[:] - 2.0 * dots                   # (T, K) (+|z|^2 const)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, d2.shape, dimension=1)
     d2 = jnp.where(k_ids < k_valid_ref[0, 0], d2, _MASK_DIST)
     idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
     best = jnp.min(d2, axis=1)
     z_sq = (z * z).sum(axis=1)
-    idx_ref[:] = idx.reshape(1, -1)
-    dist_ref[:] = jnp.maximum(best + z_sq, 0.0).reshape(1, -1)
+    idx_ref[:] = idx
+    dist_ref[:] = jnp.maximum(best + z_sq, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -65,18 +68,17 @@ def _assign_device(z: jax.Array, cb: jax.Array, k_valid: jax.Array,
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # 1-D blocks: the lane (last) dim is the tile, 128-divisible
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tile), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, tile), jnp.float32),
+            jax.ShapeDtypeStruct((n,), jnp.int32),
+            jax.ShapeDtypeStruct((n,), jnp.float32),
         ],
         interpret=interpret,
     )(k_valid_arr, z, cb, cb_sq)
-    return idx.reshape(n), dist.reshape(n)
+    return idx, dist
 
 
 def nearest_codes(
@@ -99,7 +101,8 @@ def nearest_codes(
 
     d_pad = _round_up(max(d, 1), 128)
     k_pad = _round_up(max(k, 8), 128)
-    tile = min(tile, _round_up(n, 8))
+    # tile is the lane dim of the 1-D output blocks: keep it 128-divisible
+    tile = max(128, min(_round_up(tile, 128), _round_up(n, 128)))
     n_pad = _round_up(n, tile)
 
     z_p = np.zeros((n_pad, d_pad), np.float32)
