@@ -101,8 +101,13 @@ def nearest_codes(
 
     d_pad = _round_up(max(d, 1), 128)
     k_pad = _round_up(max(k, 8), 128)
-    # tile is the lane dim of the 1-D output blocks: keep it 128-divisible
-    tile = max(128, min(_round_up(tile, 128), _round_up(n, 128)))
+    # tile is the lane dim of the 1-D output blocks: 1-D arrays tile at
+    # 1024 on TPU, so blocks must be 1024-multiples; cap the tile so the
+    # kernel's live VMEM (z tile, distance block, double-buffering) stays
+    # well under the ~16MB budget
+    vmem_budget = 6 * 1024 * 1024
+    tile_cap = max(1024, (vmem_budget // (4 * (k_pad + d_pad))) // 1024 * 1024)
+    tile = max(1024, min(_round_up(tile, 1024), tile_cap))
     n_pad = _round_up(n, tile)
 
     z_p = np.zeros((n_pad, d_pad), np.float32)
