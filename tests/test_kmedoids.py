@@ -110,3 +110,20 @@ def test_assignment_matches_scipy_oracle(random_latents):
     if diff.any():
         np.testing.assert_allclose(ref[assign[diff], np.nonzero(diff)[0]],
                                    ref_dist[diff], rtol=1e-5, atol=1e-4)
+
+
+def test_fused_assignment_matches_explicit(random_latents):
+    """kpp_parallel's fused assignment == a fresh multi-source pass."""
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    medoids, assign, qe = fit_kmedoids(W, K=12, init="kpp_parallel", seed=9,
+                                       reorder=False)
+    assign2, dist2 = assign_points_to_medoids(W, medoids)
+    qe2 = compute_quantization_error(dist2)
+    # distances must match exactly; assignment may differ only on ties
+    from scipy.sparse.csgraph import dijkstra
+
+    ref = dijkstra(W, directed=False, indices=medoids)
+    d_fused = ref[assign, np.arange(W.shape[0])]
+    d_fresh = ref[assign2, np.arange(W.shape[0])]
+    np.testing.assert_allclose(d_fused, d_fresh, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(qe, qe2, rtol=1e-5)

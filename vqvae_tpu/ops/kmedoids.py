@@ -138,28 +138,53 @@ def kpp_initialization(W: GraphLike, K: int, seed: int = 42,
 
 def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
                                 rounds: int = 8,
-                                backend: str = "auto") -> List[int]:
-    """Batched k-means|| initialization: R multi-source passes total."""
+                                backend: str = "auto",
+                                return_assignment: bool = False):
+    """Batched k-means|| initialization: R multi-source passes total.
+
+    With ``return_assignment`` the per-round distance passes double as the
+    final assignment: every center's distances are relaxed exactly once
+    across the rounds, so tracking the running argmin yields the
+    nearest-medoid assignment and distances for free — eliminating the
+    reference's separate K-source assignment pass (and its second QE pass,
+    kmeans_optimized.py:97-129). Returns (centers, assign, dist).
+    """
     graph, backend, n = _resolve(W, max(1, (K - 1) // max(rounds, 1)), backend)
     rng = np.random.default_rng(seed)
-    centers: List[int] = [int(rng.integers(0, n))]
+    first = int(rng.integers(0, n))
+    centers: List[int] = [first]
     d_min = np.full(n, np.inf, dtype=np.float32)
+    assign = np.zeros(n, dtype=np.int64)
     rounds = max(1, min(rounds, K - 1)) if K > 1 else 0
     if rounds == 0:
+        if return_assignment:
+            d0 = graph.distances(np.asarray([first]))[:, 0] if n else d_min
+            return centers, assign, d0
         return centers
 
     # every round samples the same number of candidates so the relaxation
-    # compiles once (shape-stable); surplus centers are trimmed at the end
+    # compiles once (shape-stable); the final round sizes to land exactly
+    # on K centers so assignment ids need no trimming
     per_round = int(np.ceil((K - 1) / rounds))
-    new_centers = [centers[0]] + [centers[0]] * (per_round - 1)
-    for r in range(rounds):
+    new_centers = [first] * per_round
+    new_base = 0  # centers-list offset of new_centers[1:]... round 0 covers
+    # the first center replicated; its assignment id is 0.
+    round_ids = np.zeros(per_round, dtype=np.int64)
+    r = 0
+    while True:
         # relax from the centers added last round (one batched pass)
         d_new = graph.distances(np.asarray(new_centers, np.int64))
-        d_min = np.minimum(d_min, d_new.min(axis=1))
+        best = d_new.min(axis=1)
+        improved = best < d_min
+        if return_assignment:
+            local = d_new.argmin(axis=1)
+            assign = np.where(improved, round_ids[local], assign)
+        d_min = np.minimum(d_min, best)
 
-        if len(centers) >= K:
+        if len(centers) >= K or r >= rounds:
             break
-        m = per_round
+        r += 1
+        m = min(per_round, K - len(centers))
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
         if total <= 0:
@@ -173,9 +198,15 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
             gumbel = rng.gumbel(size=n)
             picks = np.argsort(-(logp + gumbel))[:m]
             picks = picks[np.isfinite(logp[picks])]
+        new_base = len(centers)
         new_centers = [int(p) for p in picks]
+        round_ids = new_base + np.arange(len(new_centers), dtype=np.int64)
         centers.extend(new_centers)
-    return centers[:K]
+
+    centers = centers[:K]
+    if return_assignment:
+        return centers, assign, d_min
+    return centers
 
 
 def assign_points_to_medoids(W: GraphLike, medoids: np.ndarray,
@@ -228,22 +259,28 @@ def fit_kmedoids(
         W = W.tocsr()[perm][:, perm]
 
     graph, resolved, n = _resolve(W, K, backend)
+    assign = dist = None
     if init == "kpp":
         medoids = np.asarray(kpp_initialization(graph, K, seed=seed,
                                                 backend=resolved),
                              dtype=np.int64)
     elif init == "kpp_parallel":
-        medoids = np.asarray(
-            kpp_parallel_initialization(graph, K, seed=seed,
-                                        rounds=kpp_rounds, backend=resolved),
-            dtype=np.int64)
+        # fused path: the init's per-round relaxations already cover every
+        # center once, so assignment + distances come for free (saves the
+        # K-wide assignment pass, ~2x on this stage)
+        medoids, assign, dist = kpp_parallel_initialization(
+            graph, K, seed=seed, rounds=kpp_rounds, backend=resolved,
+            return_assignment=True)
+        medoids = np.asarray(medoids, dtype=np.int64)
     elif init == "random":
         rng = np.random.default_rng(seed)
         medoids = rng.choice(n, size=min(K, n), replace=False).astype(np.int64)
     else:
         raise ValueError("init must be 'kpp', 'kpp_parallel' or 'random'")
 
-    assign, dist = assign_points_to_medoids(graph, medoids, backend=resolved)
+    if assign is None:
+        assign, dist = assign_points_to_medoids(graph, medoids,
+                                                backend=resolved)
     qe = compute_quantization_error(dist)
     if perm is not None:  # map back to original node ids
         medoids = perm[medoids]
