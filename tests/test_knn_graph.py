@@ -101,3 +101,15 @@ def test_connectivity_stats(disconnected_two_lines):
     stats = analyze_graph_connectivity(disconnected_two_lines)
     assert stats["n_components"] == 2
     assert stats["largest_component_size"] == 3
+
+
+def test_approx_mode_high_recall(random_latents):
+    """approx mode (TPU PartialReduce path) must recover nearly all true
+    neighbors; on CPU approx_min_k is exact so this is a smoke+recall test."""
+    d_ex, i_ex = knn_search(random_latents, 8)
+    d_ap, i_ap = knn_search(random_latents, 8, approx=True)
+    recall = np.mean([len(set(i_ap[r]) & set(i_ex[r])) / 8
+                      for r in range(len(random_latents))])
+    assert recall > 0.9
+    np.testing.assert_allclose(np.sort(d_ap, 1)[:, 0], np.sort(d_ex, 1)[:, 0],
+                               atol=1e-4)

@@ -59,9 +59,11 @@ def build_codebook_main(cfg: Config) -> Path:
     graph_cfg = cfg.get("graph", Config({}))
     k = int(graph_cfg.get("k", cfg.get("k", 20)))
     sym = str(graph_cfg.get("sym", cfg.get("sym", "union")))
+    method = graph_cfg.get("method")  # None | "approx" | "host"
     t0 = time.perf_counter()
     W_eu, _ = build_knn_graph_auto(z_flat, k=k, metric="euclidean",
-                                   mode="connectivity", sym=sym)
+                                   mode="connectivity", sym=sym,
+                                   force_method=method)
     t_knn = time.perf_counter() - t0
     print(f"[codebook] kNN graph: {W_eu.shape[0]} nodes, {W_eu.nnz} edges "
           f"({t_knn:.1f}s)")

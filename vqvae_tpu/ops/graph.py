@@ -55,6 +55,7 @@ def build_knn_graph(
     metric: str = "euclidean",
     mode: str = "distance",
     sym: str = "mutual",
+    approx: bool = False,
 ) -> Tuple[sparse.csr_matrix, Dict[str, np.ndarray]]:
     """Exact kNN graph. Returns (CSR adjacency, {"distances", "indices"}).
 
@@ -76,7 +77,8 @@ def build_knn_graph(
                 {"distances": np.empty((n, 0), np.float32),
                  "indices": np.empty((n, 0), dtype=int)})
 
-    dists, idxs = knn_search(z, min(k_eff + 1, n), metric=metric)
+    dists, idxs = knn_search(z, min(k_eff + 1, n), metric=metric,
+                              approx=approx)
 
     # strip self-matches: normally the first column; with exact duplicates a
     # twin may rank first, so fall back to dropping the row-wise argmin.
@@ -111,7 +113,8 @@ def build_knn_graph_auto(
     """
     if force_method == "host":
         return _build_knn_graph_host(z, k, metric, mode, sym)
-    return build_knn_graph(z, k=k, metric=metric, mode=mode, sym=sym)
+    return build_knn_graph(z, k=k, metric=metric, mode=mode, sym=sym,
+                           approx=(force_method == "approx"))
 
 
 def _build_knn_graph_host(z, k, metric, mode, sym):

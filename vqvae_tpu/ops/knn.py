@@ -29,7 +29,7 @@ _INF = jnp.float32(jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile",
-                                             "db_tile"))
+                                             "db_tile", "approx"))
 def _knn_block(
     zq: jax.Array,        # (Qp, D) padded query block, f32 (pre-normalized
                           #  for cosine)
@@ -40,6 +40,7 @@ def _knn_block(
     metric: str,
     query_tile: int,
     db_tile: int,
+    approx: bool,
 ) -> Tuple[jax.Array, jax.Array]:
     Qp, D = zq.shape
     Np = z.shape[0]
@@ -75,8 +76,16 @@ def _knn_block(
             else:
                 d = qs[:, None] - 2.0 * dots + xs[None, :]
             d = jnp.where(xv[None, :], d, _INF)  # mask padded db rows
-            cand_d, cand_j = jax.lax.top_k(-d, k_sel)  # per-tile top-k
-            cand_d = -cand_d
+            if approx:
+                # TPU PartialReduce: ~10x cheaper than the full sort-based
+                # top_k that otherwise dominates kNN wall-clock; the exact
+                # re-rank below keeps reported distances exact, and a
+                # recall test bounds the candidate-miss rate
+                cand_d, cand_j = jax.lax.approx_min_k(
+                    d, k_sel, recall_target=0.95)
+            else:
+                neg_d, cand_j = jax.lax.top_k(-d, k_sel)  # per-tile top-k
+                cand_d = -neg_d
             cand_i = (cand_j + start).astype(jnp.int32)
             all_d = jnp.concatenate([best_d, cand_d], axis=1)
             all_i = jnp.concatenate([best_i, cand_i], axis=1)
@@ -113,6 +122,7 @@ def knn_search(
     query_tile: int = 1024,
     db_tile: int = 8192,
     query_block: int = 131_072,
+    approx: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
@@ -161,7 +171,8 @@ def knn_search(
         q = np.zeros((block, z.shape[1]), np.float32)
         q[:e - s] = zn[s:e]
         d, i = _knn_block(jnp.asarray(q), z_db_j, jnp.int32(n),
-                          jnp.int32(e - s), k, metric, query_tile, db_tile)
+                          jnp.int32(e - s), k, metric, query_tile, db_tile,
+                          approx)
         dists[s:e] = np.asarray(d[:e - s])
         idxs[s:e] = np.asarray(i[:e - s]).astype(np.int64)
     return dists, idxs
