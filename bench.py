@@ -54,7 +54,8 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn) -> float:
 
     t0 = time.perf_counter()
     W, _ = build_knn_graph(z, k=k, metric="euclidean", mode="connectivity",
-                           sym="union")
+                           sym="union",
+                           approx=os.environ.get("BENCH_KNN_APPROX") == "1")
     t_knn = time.perf_counter() - t0
     rows, cols = W.nonzero()
     keep = rows < cols
