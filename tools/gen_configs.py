@@ -173,8 +173,14 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
         "metrics_file": "evaluation_metrics.json",
         "system": {"seed": 42},
     }
-    return {"vae": vae, "codebook": codebook, "transformer": transformer,
-            "generate": generate, "evaluate": evaluate}
+    quality = {
+        "experiment": exp,
+        "dataset": dataset,
+        **({"synthetic_size": 512} if small else {}),
+    }
+    return {"vae": vae, "codebook": codebook, "quality": quality,
+            "transformer": transformer, "generate": generate,
+            "evaluate": evaluate}
 
 
 def write(preset_dir: Path, stages: dict):

@@ -20,8 +20,11 @@ from typing import Dict, Iterable, Optional
 
 from ..config import Config, load_config
 
-STAGES = ("vae", "codebook", "transformer", "generate", "evaluate")
-NON_CRITICAL = {"evaluate"}
+STAGES = ("vae", "codebook", "quality", "transformer", "generate", "evaluate")
+# quality gates and final evaluation continue on failure, like the
+# reference's critical=False steps (run_fashionmnist_vanilla_geodesic_
+# pipeline.py:69-103)
+NON_CRITICAL = {"quality", "evaluate"}
 
 
 def _stage_config(config_dir: Path, stage: str,
@@ -91,6 +94,22 @@ def run_pipeline(
                             build_codebook_legacy_main(
                                 cfg,
                                 riemannian=(builder == "legacy_riemannian"))
+                    elif stage == "quality":
+                        from .quality_checks import (
+                            evaluate_codebook_health_main,
+                            evaluate_quantization_loss_main,
+                            evaluate_vae_quality_main)
+
+                        exp = str(cfg["experiment"])
+                        ds = str(cfg.get("dataset", "fashionmnist"))
+                        synth = cfg.get("synthetic_size")
+                        rc = evaluate_vae_quality_main(exp, dataset=ds)
+                        evaluate_quantization_loss_main(
+                            exp, dataset=ds, synthetic_size=synth)
+                        evaluate_codebook_health_main(exp, dataset=ds)
+                        if rc != 0:
+                            print("[pipeline] VAE quality gate recommends "
+                                  "RETRAIN (continuing: non-critical)")
                     elif stage == "transformer":
                         train_transformer_main(cfg)
                     elif stage == "generate":
