@@ -60,38 +60,36 @@ def generate_samples_main(cfg: Config) -> Path:
     max_seq_len = int(tf_cfg["max_seq_len"])
     latent_dim = int(vae_cfg["latent_dim"])
 
-    all_recons = []
-    for ci, class_label in enumerate(class_labels):
-        label_str = "Unconditional" if class_label is None else str(class_label)
-        print(f"[generate] {samples_per_class} samples for class {label_str}")
-        y = None
-        if class_label is not None:
-            y = jnp.full((samples_per_class,), int(class_label), jnp.int32)
-        sub = jax.random.fold_in(rng, ci)
+    # all classes sample in ONE batched KV-cached call (the reference loops
+    # classes with a full-prefix recompute per token, generate_samples.py:66)
+    conditional = all(c is not None for c in class_labels)
+    n_total = samples_per_class * len(class_labels)
+    y = None
+    if conditional and transformer.num_classes > 0:
+        y = jnp.asarray(np.repeat([int(c) for c in class_labels],
+                                  samples_per_class), jnp.int32)
+    print(f"[generate] {n_total} samples "
+          f"({len(class_labels)} classes x {samples_per_class}), one batch")
 
-        if is_vanilla:
-            bos = num_tokens - 1
-            first = jnp.full((samples_per_class, 1), bos, jnp.int32)
-            codes = sample_autoregressive(
-                transformer, tf_params, first, steps=max_seq_len - 1,
-                rng=sub, temperature=temperature, top_k=top_k, labels=y)
-            codes = codes[:, 1:]  # drop BOS
-            single = codes[:, 0]
-            zq = codebook_vectors[single]  # (B, latent_dim)
-        else:
-            first = jax.random.randint(jax.random.fold_in(sub, 1),
-                                       (samples_per_class, 1), 0, num_tokens)
-            codes = sample_autoregressive(
-                transformer, tf_params, first, steps=max_seq_len - 1,
-                rng=sub, temperature=temperature, top_k=top_k, labels=y)
-            zq = codebook_vectors[codes]  # (B, 16, latent_dim)
-            zq = zq.reshape(samples_per_class, 4, 4, latent_dim)  # NHWC grid
+    if is_vanilla:
+        bos = num_tokens - 1
+        first = jnp.full((n_total, 1), bos, jnp.int32)
+        codes = sample_autoregressive(
+            transformer, tf_params, first, steps=max_seq_len - 1,
+            rng=rng, temperature=temperature, top_k=top_k, labels=y)
+        codes = codes[:, 1:]  # drop BOS
+        zq = codebook_vectors[codes[:, 0]]  # (B, latent_dim)
+    else:
+        first = jax.random.randint(jax.random.fold_in(rng, 1),
+                                   (n_total, 1), 0, num_tokens)
+        codes = sample_autoregressive(
+            transformer, tf_params, first, steps=max_seq_len - 1,
+            rng=rng, temperature=temperature, top_k=top_k, labels=y)
+        zq = codebook_vectors[codes]  # (B, 16, latent_dim)
+        zq = zq.reshape(n_total, 4, 4, latent_dim)  # NHWC grid
 
-        logits = vae.apply(vae_vars, zq, method=vae.decode)
-        recons = jax.nn.sigmoid(logits)
-        all_recons.append(np.asarray(recons))
-
-    final = np.concatenate(all_recons, axis=0)
+    logits = vae.apply(vae_vars, zq, method=vae.decode)
+    final = np.asarray(jax.nn.sigmoid(logits))
     out_dir = Path(cfg["output_dir"])
     out_path = out_dir / str(cfg.get("output_filename", "generated_samples.png"))
     save_image_grid(final, out_path, nrow=samples_per_class, padding=2)
