@@ -215,7 +215,9 @@ class TransformerEngine:
                                         "opt_state": state.opt_state,
                                         "step": int(state.step),
                                         "epoch": epoch})
-            if ckptr:
+            # full-train-state saves cost seconds each; checkpoint "latest"
+            # periodically and once at the end instead of twice per epoch
+            if ckptr and (epoch % 10 == 0 or epoch == num_epochs):
                 ckptr.save("latest", {"params": state.params,
                                       "opt_state": state.opt_state,
                                       "step": int(state.step),
