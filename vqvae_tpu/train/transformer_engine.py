@@ -188,6 +188,7 @@ class TransformerEngine:
         ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
         rng = jax.random.key(self.seed + 1)
         best_val = float("inf")
+        best_snapshot = None
 
         bs = train_loader.batch_size
         train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
@@ -210,18 +211,18 @@ class TransformerEngine:
                                    step=epoch)
             if va_loss < best_val:
                 best_val = va_loss
-                if ckptr:
-                    ckptr.save("best", {"params": state.params,
-                                        "opt_state": state.opt_state,
-                                        "step": int(state.step),
-                                        "epoch": epoch})
-            # full-train-state saves cost seconds each; checkpoint "latest"
-            # periodically and once at the end instead of twice per epoch
+                # hold best on host; full-train-state writes cost seconds
+                # each and early training improves every epoch
+                best_snapshot = jax.device_get(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": int(state.step), "epoch": epoch})
             if ckptr and (epoch % 10 == 0 or epoch == num_epochs):
                 ckptr.save("latest", {"params": state.params,
                                       "opt_state": state.opt_state,
                                       "step": int(state.step),
                                       "epoch": epoch})
+        if ckptr and best_snapshot is not None:
+            ckptr.save("best", best_snapshot)
         return state
 
 
