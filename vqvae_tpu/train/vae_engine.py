@@ -330,6 +330,7 @@ class VAEEngine:
         no_improve = 0
         num_pixels = int(np.prod(train_loader.split.image_shape))
         best_state = jax.device_get(state)
+        best_epoch = 0
 
         # device-resident fast path (one dispatch per epoch) unless host-side
         # augmentation forces per-batch host work
@@ -382,14 +383,11 @@ class VAEEngine:
             if va["loss"] < best_val:
                 best_val = va["loss"]
                 no_improve = 0
-                # host copy: the fast path donates state buffers each epoch
+                # host copy: the fast path donates state buffers each epoch;
+                # the best checkpoint is written ONCE after training (early
+                # epochs improve every time and orbax writes cost seconds)
                 best_state = jax.device_get(state)
-                if ckptr:
-                    ckptr.save("best", {"params": state.params,
-                                        "batch_stats": state.batch_stats,
-                                        "opt_state": state.opt_state,
-                                        "step": int(state.step),
-                                        "epoch": epoch})
+                best_epoch = epoch
             else:
                 no_improve += 1
                 if early_stop and no_improve >= early_stop:
@@ -397,6 +395,11 @@ class VAEEngine:
                     break
 
         if ckptr:
+            ckptr.save("best", {"params": best_state.params,
+                                "batch_stats": best_state.batch_stats,
+                                "opt_state": best_state.opt_state,
+                                "step": int(best_state.step),
+                                "epoch": best_epoch})
             ckptr.save("latest", {"params": state.params,
                                   "batch_stats": state.batch_stats,
                                   "opt_state": state.opt_state,
