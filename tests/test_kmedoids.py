@@ -127,3 +127,26 @@ def test_fused_assignment_matches_explicit(random_latents):
     d_fresh = ref[assign2, np.arange(W.shape[0])]
     np.testing.assert_allclose(d_fused, d_fresh, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(qe, qe2, rtol=1e-5)
+
+
+def test_connectivity_check_wrapper(random_latents):
+    from vqvae_tpu.ops.kmedoids import fit_kmedoids_with_connectivity_check
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    medoids, assign, qe, meta = fit_kmedoids_with_connectivity_check(
+        W, K=6, init="kpp", seed=0)
+    assert meta["n_nodes"] == W.shape[0]
+    assert meta["n_edges"] == W.nnz
+    assert meta["n_medoids"] == 6
+    assert meta["quantization_error"] == qe
+    assert meta["n_components"] >= 1
+
+
+def test_backend_host_device_equal(random_latents):
+    from vqvae_tpu.ops.backend import multi_source_distances
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    sources = np.asarray([1, 42, 99])
+    d_host = multi_source_distances(W, sources, backend="host")
+    d_dev = multi_source_distances(W, sources, backend="device")
+    np.testing.assert_allclose(d_host, d_dev, rtol=1e-5, atol=1e-5)

@@ -82,7 +82,12 @@ def _reweight_graph_with_riemannian(W: sparse.csr_matrix, z: np.ndarray,
 
 
 def build_codebook_legacy_main(cfg: Config, riemannian: bool = False) -> Path:
-    out_dir = Path(cfg["out_dir"])
+    # out dir may live at top level (ours) or under out.dir (the reference's
+    # legacy quantize.yaml layout, configs/quantize.yaml there)
+    out = cfg.get("out_dir") or cfg.get("out", Config({})).get("dir")
+    if out is None:
+        raise KeyError("out_dir (top-level or out.dir)")
+    out_dir = Path(str(out))
     out_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
 
