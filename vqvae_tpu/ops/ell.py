@@ -39,8 +39,21 @@ class BucketedGraph(NamedTuple):
     def from_csr(W) -> "BucketedGraph":
         """Build from a scipy sparse matrix with undirected traversal
         semantics (min stored weight per unordered pair, both directions —
-        same contract as shortest_paths.EdgeList.from_csr)."""
+        same contract as shortest_paths.EdgeList.from_csr).
+
+        Symmetric matrices (the common case: every graph the builders
+        produce) take a fast path — each CSR row IS the node's in-neighbor
+        list, so the O(E log E) pair-dedup sort is skipped entirely."""
         n = W.shape[0]
+        Wc = W.tocsr()
+        if (Wc != Wc.T).nnz == 0:  # cheap symmetry check, O(E)
+            counts = np.diff(Wc.indptr).astype(np.int64)
+            # drop self-loops (zero-weight diagonal entries are edges to
+            # self and never change distances; keep simple: they are rare
+            # because the builders eliminate the diagonal)
+            return BucketedGraph._from_sorted(
+                Wc.indices.astype(np.int32), Wc.data.astype(np.float32),
+                counts, n)
         coo = W.tocoo()
         lo = np.minimum(coo.row, coo.col).astype(np.int64)
         hi = np.maximum(coo.row, coo.col).astype(np.int64)
@@ -63,11 +76,18 @@ class BucketedGraph(NamedTuple):
         src = np.asarray(src, np.int32)
         dst = np.asarray(dst, np.int32)
         w = np.asarray(w, np.float32)
-        if (w < 0).any():
-            raise ValueError("Negative weights")
         order = np.argsort(dst, kind="stable")
         src, w = src[order], w[order]
         counts = np.bincount(dst, minlength=n_nodes).astype(np.int64)
+        return BucketedGraph._from_sorted(src, w, counts, n_nodes)
+
+    @staticmethod
+    def _from_sorted(src: np.ndarray, w: np.ndarray, counts: np.ndarray,
+                     n_nodes: int) -> "BucketedGraph":
+        """Build from dst-sorted in-edge arrays (src[i], w[i] grouped per
+        destination node with per-node ``counts``)."""
+        if (w < 0).any():
+            raise ValueError("Negative weights")
         starts = np.concatenate([[0], np.cumsum(counts)])[:n_nodes]
         e_total = len(src)
 
