@@ -2,7 +2,6 @@ from .knn import knn_search
 from .graph import (
     build_knn_graph,
     build_knn_graph_auto,
-    Graph,
     largest_connected_component,
     analyze_graph_connectivity,
 )
@@ -34,7 +33,6 @@ __all__ = [
     "knn_search",
     "build_knn_graph",
     "build_knn_graph_auto",
-    "Graph",
     "largest_connected_component",
     "analyze_graph_connectivity",
     "multi_source_shortest_paths",

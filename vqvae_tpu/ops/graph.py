@@ -10,7 +10,6 @@ host numpy/scipy (the reference's own backend for those steps).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -18,18 +17,6 @@ from scipy import sparse
 from scipy.sparse.csgraph import connected_components
 
 from .knn import knn_search
-
-
-@dataclass
-class Graph:
-    """Thin wrapper bundling the CSR matrix with its device edge list."""
-
-    W: sparse.csr_matrix
-
-    def edge_list(self, pad_multiple: int = 8192):
-        from .shortest_paths import EdgeList
-
-        return EdgeList.from_csr(self.W, pad_multiple)
 
 
 def _assemble(distances: np.ndarray, indices: np.ndarray, n: int,
