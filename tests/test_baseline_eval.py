@@ -52,3 +52,17 @@ def test_baseline_pipeline_end_to_end(tmp_path):
     assert (eval_dir / "metrics.yaml").exists()
     health = json.load(open(eval_dir / "codebook_health.json"))
     assert "health_assessment" in health
+
+    # standalone codebook metric evaluator (reference
+    # eval_codebook_metrics.py parity: print + CSV append)
+    r = subprocess.run([sys.executable, str(REPO / "scripts" / "eval_codebook_metrics.py"),
+                        "--config", str(cfg_path), "--split", "test"],
+                       cwd=tmp_path, env=env, capture_output=True, text=True,
+                       timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "perplex:" in r.stdout and "usage:" in r.stdout
+    csv_path = tmp_path / "baseline" / "codebook_eval_test.csv"
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].startswith("split,loss,rec,vq,q_mse,perplex,usage,dead")
+    vals = lines[1].split(",")
+    assert vals[0] == "test" and all(float(v) == float(v) for v in vals[1:])
