@@ -27,7 +27,7 @@ to a static size with w=+inf edges, which can never lower a distance.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
