@@ -1,5 +1,10 @@
 """Degree-bucketed (ELL-style) graph relaxation — scatter-free sweeps.
 
+TPU-native replacement for the reference's multi-source
+``scipy.sparse.csgraph.dijkstra`` hot loop (reference
+src/geo/geo_shortest_paths.py:24-51); same (N, K) distance-matrix
+contract as ops/shortest_paths.py, different engine.
+
 The edge-list relaxation reduces with ``segment_min`` (a scatter);
 TPU/XLA executes scatters far below HBM bandwidth. This representation
 removes the scatter entirely: nodes are grouped into power-of-two in-degree

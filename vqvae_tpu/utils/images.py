@@ -1,4 +1,6 @@
-"""Image grid assembly and PNG IO via PIL (replaces torchvision.utils)."""
+"""Image grid assembly and PNG IO via PIL (replaces torchvision.utils as
+used by the reference's grid savers — reference src/training/engine.py:165-219
+and baseline VQVAE/vqvae_cifar10_clean/utils.py:6-34)."""
 from __future__ import annotations
 
 from pathlib import Path
