@@ -30,8 +30,30 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+_SWEEP = None
+
+
+def _jitted_sweep():
+    global _SWEEP
+    if _SWEEP is None:
+        _SWEEP = jax.jit(_sweep)
+    return _SWEEP
+
+
+def _sweep(dist, nbr):
+    # the ELL inner pattern: gather deg rows per output row, min-reduce
+    def relax_j(j, acc):
+        return jnp.minimum(acc, dist[nbr[:, j]])
+
+    init = jnp.full((nbr.shape[0], dist.shape[1]), jnp.inf, dist.dtype)
+    return jax.lax.fori_loop(0, nbr.shape[1], relax_j, init)
+
+
 def run_case(n_rows: int, k_width: int, deg: int, n_gather: int,
              sorted_idx: bool, iters: int = 8) -> dict:
+    # one module-level jitted sweep: sorted/unsorted share the compiled
+    # program per shape (remote compiles here cost minutes each)
+    global jax, jnp
     import jax
     import jax.numpy as jnp
 
@@ -42,15 +64,7 @@ def run_case(n_rows: int, k_width: int, deg: int, n_gather: int,
         idx_np = np.sort(idx_np, axis=None).reshape(n_gather, deg)
     idx = jnp.asarray(idx_np)
 
-    @jax.jit
-    def sweep(dist, nbr):
-        # the ELL inner pattern: gather deg rows per output row, min-reduce
-        def relax_j(j, acc):
-            return jnp.minimum(acc, dist[nbr[:, j]])
-
-        init = jnp.full((nbr.shape[0], dist.shape[1]), jnp.inf, dist.dtype)
-        return jax.lax.fori_loop(0, nbr.shape[1], relax_j, init)
-
+    sweep = _jitted_sweep()
     out = sweep(d, idx)
     out.block_until_ready()  # compile + warm
     t0 = time.perf_counter()
@@ -79,8 +93,11 @@ def main() -> None:
 
     n_rows = int(os.environ.get("GATHER_ROWS", 196608))
     n_gather = int(os.environ.get("GATHER_N", 65536))
-    for k_width in (128, 256, 512, 1024):
-        for deg in (8, 16):
+    k_widths = tuple(int(s) for s in
+                     os.environ.get("GATHER_K", "256,512,1024").split(","))
+    degs = tuple(int(s) for s in os.environ.get("GATHER_DEG", "16").split(","))
+    for k_width in k_widths:
+        for deg in degs:
             for sorted_idx in (False, True):
                 r = run_case(n_rows, k_width, deg, n_gather, sorted_idx)
                 print(json.dumps(r), flush=True)
