@@ -66,11 +66,14 @@ def run_case(n_rows: int, k_width: int, deg: int, n_gather: int,
 
     sweep = _jitted_sweep()
     out = sweep(d, idx)
-    out.block_until_ready()  # compile + warm
+    _ = float(np.asarray(out[:1, :1]))  # compile + warm; forced host sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = sweep(d, idx)
-    out.block_until_ready()
+    # materialize to host: on this platform block_until_ready can return
+    # before remote execution finishes, so a device->host copy is the only
+    # reliable fence
+    _ = float(np.asarray(out[:1, :1]))
     dt = (time.perf_counter() - t0) / iters
 
     bytes_moved = n_gather * deg * k_width * 4  # gathered payload per sweep
