@@ -15,6 +15,14 @@ with achieved GB/s. If GB/s grows ~linearly with K at fixed row count,
 the gathers are descriptor-rate-bound and the Pallas kernel should pack
 multiple logical rows per descriptor; if GB/s is flat in K, it is
 payload-bandwidth-bound and a Pallas kernel will not help.
+
+MEASURED (TPU v5e, 2026-08-16, 196608 rows x 65536x16 gathers):
+  K=256: 63 GB/s (61 M rows/s)   K=512: 72 GB/s (35 M rows/s)
+  K=1024: 94 GB/s (23 M rows/s)  sorted == random (no locality effect)
+A direct `_ell_run` 1-vs-3-sweep probe at 196k/K=512/deg-16 gave
+49 ms/sweep = 98 GB/s effective, ~40 ms fixed overhead per call.
+Conclusion: the sweep is near payload-bound; skip the Pallas DMA
+kernel, optimize pass batching instead (REPORT.md round-2 plan).
 """
 from __future__ import annotations
 
@@ -66,14 +74,14 @@ def run_case(n_rows: int, k_width: int, deg: int, n_gather: int,
 
     sweep = _jitted_sweep()
     out = sweep(d, idx)
-    _ = float(np.asarray(out[:1, :1]))  # compile + warm; forced host sync
+    _ = float(np.asarray(out[0, 0]))  # compile + warm; forced host sync
     t0 = time.perf_counter()
     for _ in range(iters):
         out = sweep(d, idx)
     # materialize to host: on this platform block_until_ready can return
     # before remote execution finishes, so a device->host copy is the only
     # reliable fence
-    _ = float(np.asarray(out[:1, :1]))
+    _ = float(np.asarray(out[0, 0]))
     dt = (time.perf_counter() - t0) / iters
 
     bytes_moved = n_gather * deg * k_width * 4  # gathered payload per sweep
