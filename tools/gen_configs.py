@@ -191,6 +191,14 @@ def write(preset_dir: Path, stages: dict):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default=str(ROOT / "configs"),
+                    help="output root (default: the repo's configs/)")
+    args = ap.parse_args()
+    out_root = Path(args.out)
+
     combos = [
         ("fashionmnist", "spatial", "geodesic"),
         ("fashionmnist", "vanilla", "euclidean"),
@@ -201,13 +209,13 @@ def main():
         ("mnist", "vanilla", "euclidean"),
     ]
     for ds, variant, dist in combos:
-        write(ROOT / "configs" / ds / variant / dist,
+        write(out_root / ds / variant / dist,
               preset(ds, variant, dist))
     # sandbox presets (tiny synthetic, smoke/bench)
-    write(ROOT / "configs" / "sandbox-fashion" / "euclidean",
+    write(out_root / "sandbox-fashion" / "euclidean",
           preset("fashionmnist", "vanilla", "euclidean", sandbox=True,
                  out_root="experiments/sandbox-fashion/euclidean"))
-    write(ROOT / "configs" / "sandbox-fashion" / "geodesic",
+    write(out_root / "sandbox-fashion" / "geodesic",
           preset("fashionmnist", "spatial", "geodesic", sandbox=True,
                  out_root="experiments/sandbox-fashion/geodesic"))
     print("configs generated")
