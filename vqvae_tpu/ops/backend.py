@@ -28,8 +28,16 @@ def multi_source_distances(
     W_or_edges,
     sources: np.ndarray,
     backend: str = "auto",
-) -> np.ndarray:
-    """(N, K) float32 distances from each of K sources to all nodes."""
+    d0=None,
+    device_out: bool = False,
+):
+    """(N, K) float32 distances from each of K sources to all nodes.
+
+    ``d0``: optional per-entry upper bounds to warm-start the device
+    relaxation from (ignored by the host Dijkstra, which is exact from
+    scratch). ``device_out``: return the device array instead of numpy so
+    callers can chain device-side reductions without a host round-trip.
+    """
     from scipy import sparse
 
     sources = np.asarray(sources)
@@ -52,13 +60,15 @@ def multi_source_distances(
     from .ell import BucketedGraph, multi_source_shortest_paths_ell
 
     if isinstance(W_or_edges, BucketedGraph):
-        return np.asarray(multi_source_shortest_paths_ell(W_or_edges, sources))
-    if isinstance(W_or_edges, EdgeList):
-        return np.asarray(multi_source_shortest_paths(W_or_edges, sources))
-    # CSR on device: the scatter-free bucketed engine is the fast path
-    # (measured ~1.3x over the segment_min edge-list engine at 196k/K=512)
-    return np.asarray(multi_source_shortest_paths_ell(
-        BucketedGraph.from_csr(W_or_edges), sources))
+        d = multi_source_shortest_paths_ell(W_or_edges, sources, d0=d0)
+    elif isinstance(W_or_edges, EdgeList):
+        d = multi_source_shortest_paths(W_or_edges, sources, d0=d0)
+    else:
+        # CSR on device: the scatter-free bucketed engine is the fast path
+        # (measured ~1.3x over the segment_min edge-list engine at 196k/K=512)
+        d = multi_source_shortest_paths_ell(
+            BucketedGraph.from_csr(W_or_edges), sources, d0=d0)
+    return d if device_out else np.asarray(d)
 
 
 def _native_ok() -> bool:

@@ -9,16 +9,28 @@ The edge-list relaxation reduces with ``segment_min`` (a scatter);
 TPU/XLA executes scatters far below HBM bandwidth. This representation
 removes the scatter entirely: nodes are grouped into power-of-two in-degree
 buckets, each bucket stores a dense ``(N_b, deg)`` neighbor/weight matrix
-(padded with +inf weights), and one relaxation sweep is
+(padded with +inf weights), and a relaxation step for one row chunk is
 
-    for each bucket:  cand_b = min_axis1( D[nbr_b] + w_b )      # gathers
-    relaxed = concat(cand_b)[inverse_node_permutation]           # gather
-    D = min(D, relaxed)                                          # vector min
+    cand = min_axis1( D[nbr_chunk] + w_chunk )        # gathers
+    D[chunk_rows] = min(D[chunk_rows], cand)           # contiguous update
 
-— pure gathers and vector reductions, which XLA maps onto the VPU at
-near-bandwidth. A pure-Jacobi sweep propagates one hop, so the sweep count
-equals the shortest-path hop radius (~log N on kNN latent graphs); the
+— pure gathers, vector mins, and contiguous dynamic-slice updates, which
+XLA maps onto the VPU at near-bandwidth with no scatters.
+
+The sweep is **chunk-sequential Gauss-Seidel**: the distance matrix lives
+in bucket-row (permuted) layout for the whole solve, each chunk's update is
+written back before the next chunk is relaxed, and the chunk order
+alternates forward/backward between sweeps. Later chunks therefore see
+earlier chunks' fresh values within the same sweep, so distances propagate
+many hops per sweep along the node order (BFS-relabeled by the callers)
+instead of exactly one hop as in a Jacobi sweep — the same alternating-GS
+trick the edge-list engine uses, without its segment_min scatter. The
 while_loop exits as soon as no distance improves.
+
+Warm starts: ``d0`` may carry any per-entry upper bounds on the true
+distances (not just the inf/0 cold start); relaxation is monotone from
+above, so the fixed point is exact. The k-means++ driver exploits this to
+re-use the running nearest-center distances across rounds.
 """
 from __future__ import annotations
 
@@ -33,11 +45,19 @@ _INF = np.float32(np.inf)
 
 
 class BucketedGraph(NamedTuple):
-    """Degree-bucketed in-neighbor structure (static shapes per bucket)."""
+    """Degree-bucketed in-neighbor structure (static shapes per bucket).
 
-    nbrs: Tuple[jax.Array, ...]     # per bucket: (N_b, deg_b) int32 src ids
+    Rows across all buckets are concatenated into one padded "row space";
+    ``inv_perm`` maps node id -> row, ``perm_nodes`` maps row -> node id
+    (dummy pad rows map to node 0; their weights are +inf so they never
+    influence a distance). ``nbrs`` stores *row* ids so relaxation gathers
+    stay in row space end to end.
+    """
+
+    nbrs: Tuple[jax.Array, ...]     # per bucket: (N_b, deg_b) int32 ROW ids
     wts: Tuple[jax.Array, ...]      # per bucket: (N_b, deg_b) f32 (+inf pad)
     inv_perm: jax.Array             # (N,) int32: node -> row in concat order
+    perm_nodes: jax.Array           # (N_pad,) int32: row -> node (pad -> 0)
     n_nodes: int
 
     @staticmethod
@@ -139,11 +159,15 @@ class BucketedGraph(NamedTuple):
             if nodes_b.size:
                 inv_perm[nodes_b] = (row_offsets[b]
                                      + np.arange(nodes_b.size)).astype(np.int32)
+        perm_nodes = np.zeros(max(offset, 1), np.int32)
+        perm_nodes[inv_perm] = np.arange(n_nodes, dtype=np.int32)
 
         return BucketedGraph(
-            nbrs=tuple(jnp.asarray(a) for a in nbrs),
+            nbrs=tuple(jnp.asarray(inv_perm[a]) for a in nbrs),  # node->row
             wts=tuple(jnp.asarray(a) for a in wts),
             inv_perm=jnp.asarray(inv_perm),
+            perm_nodes=jnp.asarray(perm_nodes[:offset] if offset
+                                   else perm_nodes),
             n_nodes=int(n_nodes),
         )
 
@@ -158,46 +182,69 @@ def _row_chunk(n_rows: int) -> int:
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes",))
-def _ell_run(nbrs, wts, inv_perm, d0, max_iters, n_nodes):
-    def sweep(d):
-        k = d.shape[1]
-        parts = []
-        for nb, wb in zip(nbrs, wts):
-            if nb.shape[0] == 0:
-                parts.append(jnp.zeros((0, k), d.dtype))
-                continue
-            rows, deg = nb.shape
-            chunk = _row_chunk(rows)
-            nbc = nb.reshape(rows // chunk, chunk, deg)
-            wbc = wb.reshape(rows // chunk, chunk, deg)
+@jax.jit
+def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
+    """Gauss-Seidel relaxation in permuted (bucket-row) layout.
 
-            def chunk_fn(args):
-                nbi, wbi = args  # (chunk, deg)
+    One sweep scans each bucket's row chunks in order (direction alternates
+    between sweeps), relaxing a chunk against the LIVE distance matrix and
+    writing it back before the next chunk runs — so improvements propagate
+    along the row order within a single sweep.
+    """
+    n_rows = perm_nodes.shape[0]
+    k = d0.shape[1]
+    d_perm = d0[perm_nodes]  # (N_pad, K): row-space distances
+
+    offsets = np.cumsum([0] + [int(nb.shape[0]) for nb in nbrs])
+
+    def sweep(d_perm, reverse):
+        changed = jnp.bool_(False)
+        for b, (nb_all, wb_all) in enumerate(zip(nbrs, wts)):
+            rows, deg = nb_all.shape
+            if rows == 0:
+                continue
+            chunk = _row_chunk(rows)
+            n_chunks = rows // chunk
+            row_off = int(offsets[b])
+
+            def step(carry, i, nb_all=nb_all, wb_all=wb_all, chunk=chunk,
+                     n_chunks=n_chunks, row_off=row_off, deg=deg):
+                d_perm, changed = carry
+                idx = jnp.where(reverse, n_chunks - 1 - i, i)
+                nb = jax.lax.dynamic_slice(nb_all, (idx * chunk, 0),
+                                           (chunk, deg))
+                wb = jax.lax.dynamic_slice(wb_all, (idx * chunk, 0),
+                                           (chunk, deg))
+                cur = jax.lax.dynamic_slice(
+                    d_perm, (row_off + idx * chunk, 0), (chunk, k))
 
                 def relax_j(j, acc):
-                    cand = d[nbi[:, j]] + wbi[:, j][:, None]  # (chunk, K)
+                    cand = d_perm[nb[:, j]] + wb[:, j][:, None]  # (chunk, K)
                     return jnp.minimum(acc, cand)
 
-                init = jnp.full((chunk, k), jnp.inf, d.dtype)
-                return jax.lax.fori_loop(0, deg, relax_j, init)
+                new = jax.lax.fori_loop(0, deg, relax_j, cur)
+                changed = jnp.logical_or(changed, jnp.any(new < cur))
+                d_perm = jax.lax.dynamic_update_slice(
+                    d_perm, new, (row_off + idx * chunk, 0))
+                return (d_perm, changed), None
 
-            part = jax.lax.map(chunk_fn, (nbc, wbc))  # (n_chunks, chunk, K)
-            parts.append(part.reshape(rows, k))
-        relaxed = jnp.concatenate(parts, axis=0)[inv_perm]
-        return jnp.minimum(d, relaxed)
+            (d_perm, changed), _ = jax.lax.scan(
+                step, (d_perm, changed), jnp.arange(n_chunks))
+        return d_perm, changed
 
     def cond(state):
         _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
     def body(state):
-        d, _, it = state
-        d_new = sweep(d)
-        return d_new, jnp.any(d_new < d), it + 1
+        d_perm, _, it = state
+        d_perm, changed = sweep(d_perm, it % 2 == 1)
+        return d_perm, changed, it + 1
 
-    d, _, iters = jax.lax.while_loop(cond, body, (d0, jnp.bool_(True), 0))
-    return d, iters
+    d_perm, _, iters = jax.lax.while_loop(
+        cond, body, (d_perm, jnp.bool_(True), 0))
+    del n_rows
+    return d_perm[inv_perm], iters
 
 
 def multi_source_shortest_paths_ell(
@@ -207,7 +254,11 @@ def multi_source_shortest_paths_ell(
     max_iters: Optional[int] = None,
     return_iters: bool = False,
 ):
-    """(N, K) distances via scatter-free bucketed relaxation."""
+    """(N, K) distances via scatter-free bucketed Gauss-Seidel relaxation.
+
+    ``d0``: optional (N, K) per-entry upper bounds to warm-start from (the
+    cold start is +inf everywhere, 0 at each source's own column).
+    """
     sources = jnp.asarray(sources, jnp.int32)
     k = sources.shape[0]
     n = graph.n_nodes
@@ -216,6 +267,6 @@ def multi_source_shortest_paths_ell(
         d0 = d0.at[sources, jnp.arange(k)].set(0.0)
     if max_iters is None:
         max_iters = n + 1
-    d, iters = _ell_run(graph.nbrs, graph.wts, graph.inv_perm, d0,
-                        jnp.int32(max_iters), n)
+    d, iters = _ell_run(graph.nbrs, graph.wts, graph.perm_nodes,
+                        graph.inv_perm, d0, jnp.int32(max_iters))
     return (d, iters) if return_iters else d

@@ -31,6 +31,7 @@ same distance matrix.
 """
 from __future__ import annotations
 
+import functools
 from typing import List, Tuple, Union
 
 import numpy as np
@@ -73,24 +74,33 @@ class GraphHandle:
         else:
             raise TypeError(f"unsupported graph type {type(W)}")
 
-    def distances(self, sources: np.ndarray) -> np.ndarray:
+    def choose(self, k_sources: int) -> str:
+        """Backend the next ``distances`` call with k_sources would pick."""
+        if self._forced is not None:
+            return self._forced
+        work = float(self.nnz) * max(k_sources, 1)
+        host_ok = self._csr is not None and _native_ok()
+        return "host" if (work < HOST_WORK_THRESHOLD and host_ok) else "device"
+
+    def distances(self, sources: np.ndarray, d0=None,
+                  device_out: bool = False) -> np.ndarray:
+        """(N, K) distances; ``d0`` warm-starts the device relaxation (the
+        host Dijkstra ignores it), ``device_out`` skips the host copy."""
         sources = np.asarray(sources)
-        backend = self._forced
-        if backend is None:
-            work = float(self.nnz) * max(len(sources), 1)
-            host_ok = self._csr is not None and _native_ok()
-            backend = "host" if (work < HOST_WORK_THRESHOLD and host_ok) else "device"
+        backend = self.choose(len(sources))
         if backend == "host":
             if self._csr is None:
                 raise ValueError("host backend needs a scipy CSR graph")
             return multi_source_distances(self._csr, sources, "host")
         if self._edges is not None:
-            return multi_source_distances(self._edges, sources, "device")
+            return multi_source_distances(self._edges, sources, "device",
+                                          d0=d0, device_out=device_out)
         if self._bucketed is None:
             from .ell import BucketedGraph
 
             self._bucketed = BucketedGraph.from_csr(self._csr)
-        return multi_source_distances(self._bucketed, sources, "device")
+        return multi_source_distances(self._bucketed, sources, "device",
+                                      d0=d0, device_out=device_out)
 
 
 def _resolve(W: GraphLike, K: int, backend: str) -> Tuple["GraphHandle", str, int]:
@@ -136,10 +146,65 @@ def kpp_initialization(W: GraphLike, K: int, seed: int = 42,
     return centers
 
 
+@functools.lru_cache(maxsize=1)
+def _device_round_fns():
+    """Jitted device-side helpers for the k-means|| round loop (built
+    lazily so importing this module never initializes a jax backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def warm_d0(d_min, sources):
+        # (N, K) upper bounds: every column starts at the running
+        # nearest-center distance; each source's own column starts at 0
+        k = sources.shape[0]
+        d0 = jnp.broadcast_to(d_min[:, None], (d_min.shape[0], k))
+        return d0.at[sources, jnp.arange(k)].set(0.0)
+
+    @jax.jit
+    def round_update(d_new, d_min, assign, round_ids):
+        best = jnp.min(d_new, axis=1)
+        local = jnp.argmin(d_new, axis=1)
+        improved = best < d_min
+        assign = jnp.where(improved, round_ids[local], assign)
+        return jnp.minimum(d_min, best), assign
+
+    return warm_d0, round_update
+
+
+def _warm_d0(d_min, sources):
+    return _device_round_fns()[0](d_min, sources)
+
+
+def _round_update(d_new, d_min, assign, round_ids):
+    return _device_round_fns()[1](d_new, d_min, assign, round_ids)
+
+
+def _pick_schedule(K: int, width: int, schedule: str) -> List[int]:
+    """Per-round pick counts summing to K-1, each <= width.
+
+    ``flat``: width-sized blocks (classic k-means||). ``ramp``: geometric
+    doubling 1, 2, 4, ... capped at width — early picks are near-sequential
+    (each conditioned on an up-to-date d_min), which is where exact
+    k-means++ earns its quality; late blocks are wide, which is where the
+    batched relaxation earns its speed.
+    """
+    rem, sizes = K - 1, []
+    b = 1 if schedule == "ramp" else width
+    while rem > 0:
+        m = min(b, width, rem)
+        sizes.append(m)
+        rem -= m
+        if schedule == "ramp":
+            b *= 2
+    return sizes
+
+
 def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
                                 rounds: int = 8,
                                 backend: str = "auto",
-                                return_assignment: bool = False):
+                                return_assignment: bool = False,
+                                schedule: str = "flat"):
     """Batched k-means|| initialization: R multi-source passes total.
 
     With ``return_assignment`` the per-round distance passes double as the
@@ -148,6 +213,19 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
     nearest-medoid assignment and distances for free — eliminating the
     reference's separate K-source assignment pass (and its second QE pass,
     kmeans_optimized.py:97-129). Returns (centers, assign, dist).
+
+    Device path optimizations (both exact, not approximations):
+
+    - **Warm starts**: each round's relaxation starts from the running
+      nearest-center distances ``d_min`` instead of +inf. For any node v and
+      new source s, ``min_u(d_min(u) + dist(u, v)) == d_min(v)`` by the
+      triangle inequality, so the warm-started fixed point is exactly
+      ``min(dist(s, v), d_min(v))`` — which is all the min/argmin updates
+      ever read. Later rounds' improvement regions are small, so sweeps
+      drop from graph-radius to the region's hop radius.
+    - **Device-resident round state**: d_min/assign stay on device; only
+      the (N,) d_min vector is fetched per round for the host-side d^2
+      sampling, instead of the full (N, per_round) distance block.
     """
     graph, backend, n = _resolve(W, max(1, (K - 1) // max(rounds, 1)), backend)
     rng = np.random.default_rng(seed)
@@ -162,29 +240,45 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
             return centers, assign, d0
         return centers
 
-    # every round samples the same number of candidates so the relaxation
-    # compiles once (shape-stable); the final round sizes to land exactly
-    # on K centers so assignment ids need no trimming
+    # every round relaxes the same number of sources so the relaxation
+    # compiles ONCE (shape-stable); short rounds are padded with an existing
+    # center, whose column can never strictly improve d_min and is therefore
+    # inert for both the min and the argmin updates.
     per_round = int(np.ceil((K - 1) / rounds))
+    sizes = _pick_schedule(K, per_round, schedule)
+    use_device = graph.choose(per_round) == "device"
+    if use_device:
+        import jax.numpy as jnp
+
+        d_min_dev = jnp.full((n,), jnp.inf, jnp.float32)
+        assign_dev = jnp.zeros((n,), jnp.int32)
+
     new_centers = [first] * per_round
-    new_base = 0  # centers-list offset of new_centers[1:]... round 0 covers
-    # the first center replicated; its assignment id is 0.
     round_ids = np.zeros(per_round, dtype=np.int64)
     r = 0
     while True:
         # relax from the centers added last round (one batched pass)
-        d_new = graph.distances(np.asarray(new_centers, np.int64))
-        best = d_new.min(axis=1)
-        improved = best < d_min
-        if return_assignment:
-            local = d_new.argmin(axis=1)
-            assign = np.where(improved, round_ids[local], assign)
-        d_min = np.minimum(d_min, best)
+        srcs = np.asarray(new_centers, np.int64)
+        if use_device:
+            d0 = _warm_d0(d_min_dev, jnp.asarray(srcs, jnp.int32))
+            d_new_dev = graph.distances(srcs, d0=d0, device_out=True)
+            d_min_dev, assign_dev = _round_update(
+                d_new_dev, d_min_dev, assign_dev,
+                jnp.asarray(round_ids, jnp.int32))
+            d_min = np.asarray(d_min_dev)
+        else:
+            d_new = graph.distances(srcs)
+            best = d_new.min(axis=1)
+            improved = best < d_min
+            if return_assignment:
+                local = d_new.argmin(axis=1)
+                assign = np.where(improved, round_ids[local], assign)
+            d_min = np.minimum(d_min, best)
 
-        if len(centers) >= K or r >= rounds:
+        if r >= len(sizes) or len(centers) >= K:
             break
+        m = min(sizes[r], K - len(centers))
         r += 1
-        m = min(per_round, K - len(centers))
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
         if total <= 0:
@@ -199,11 +293,17 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
             picks = np.argsort(-(logp + gumbel))[:m]
             picks = picks[np.isfinite(logp[picks])]
         new_base = len(centers)
-        new_centers = [int(p) for p in picks]
-        round_ids = new_base + np.arange(len(new_centers), dtype=np.int64)
-        centers.extend(new_centers)
+        real = [int(p) for p in picks]
+        n_pad = per_round - len(real)
+        new_centers = real + [centers[0]] * n_pad
+        round_ids = np.concatenate([
+            new_base + np.arange(len(real), dtype=np.int64),
+            np.zeros(n_pad, dtype=np.int64)])
+        centers.extend(real)
 
     centers = centers[:K]
+    if use_device:
+        assign = np.asarray(assign_dev).astype(np.int64)
     if return_assignment:
         return centers, assign, d_min
     return centers
@@ -235,6 +335,7 @@ def fit_kmedoids(
     init: str = "kpp",
     seed: int = 42,
     kpp_rounds: int = 8,
+    kpp_schedule: str = "flat",
     backend: str = "auto",
     reorder: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
@@ -270,7 +371,7 @@ def fit_kmedoids(
         # K-wide assignment pass, ~2x on this stage)
         medoids, assign, dist = kpp_parallel_initialization(
             graph, K, seed=seed, rounds=kpp_rounds, backend=resolved,
-            return_assignment=True)
+            return_assignment=True, schedule=kpp_schedule)
         medoids = np.asarray(medoids, dtype=np.int64)
     elif init == "random":
         rng = np.random.default_rng(seed)
