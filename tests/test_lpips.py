@@ -51,3 +51,75 @@ def test_missing_weights_raises(tmp_path, monkeypatch):
     with pytest.raises(FileNotFoundError):
         lpips_distance(np.zeros((1, 8, 8, 3), np.float32),
                        np.zeros((1, 8, 8, 3), np.float32))
+
+
+def _synthetic_lpips_weights(rng):
+    """Random weights with the real LPIPS-alex shapes (OIHW)."""
+    cfg = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+           (256, 256, 3)]
+    w = {}
+    for i, (oc, ic, k) in enumerate(cfg):
+        std = 1.0 / np.sqrt(ic * k * k)
+        w[f"conv{i}/kernel"] = (rng.randn(oc, ic, k, k) * std).astype(np.float32)
+        w[f"conv{i}/bias"] = (rng.randn(oc) * 0.01).astype(np.float32)
+        w[f"lin{i}"] = (np.abs(rng.randn(oc)) * 0.1).astype(np.float32)
+    return w
+
+
+def _torch_lpips_oracle(gen, real, w, target_size=64):
+    """Independent torch reimplementation of the lpips package's alex path
+    (reference evaluate_model.py:92-102 preprocessing + lpips 0.1 alex),
+    used to validate the Flax port's semantics without real weights."""
+    import torch
+    import torch.nn.functional as F
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+    cfg = [(11, 4, 2, False), (5, 1, 2, True), (3, 1, 1, True),
+           (3, 1, 1, False), (3, 1, 1, False)]
+
+    def prep(x):
+        t = torch.from_numpy(np.asarray(x, np.float32)).permute(0, 3, 1, 2)
+        if t.size(1) == 1:
+            t = t.repeat(1, 3, 1, 1)
+        t = F.interpolate(t, size=(target_size, target_size), mode="bilinear",
+                          align_corners=False)
+        return t * 2 - 1
+
+    def feats(x):
+        h = (x - shift) / scale
+        out = []
+        for i, (k, s, p, pool) in enumerate(cfg):
+            if pool:
+                h = F.max_pool2d(h, 3, 2)
+            h = F.conv2d(h, torch.from_numpy(w[f"conv{i}/kernel"]),
+                         torch.from_numpy(w[f"conv{i}/bias"]),
+                         stride=s, padding=p)
+            h = F.relu(h)
+            n = (h.pow(2).sum(1, keepdim=True) + 1e-10).sqrt()
+            out.append(h / n)
+        return out
+
+    fa, fb = feats(prep(gen)), feats(prep(real))
+    tot = 0
+    for i, (a, b) in enumerate(zip(fa, fb)):
+        lin = torch.from_numpy(w[f"lin{i}"]).view(1, -1, 1, 1)
+        tot = tot + (((a - b) ** 2) * lin).sum(1).mean(dim=(1, 2))
+    return float(tot.mean())
+
+
+@pytest.mark.parametrize("shape", [(4, 28, 28, 1), (4, 32, 32, 3)])
+def test_lpips_matches_torch_oracle(tmp_path, shape):
+    """VERDICT r1 item 9: validate the Flax LPIPS port against an
+    independent torch reimplementation on synthetic weights — checks conv
+    stride/pad, pool placement, channel-norm, lin heads, preprocessing."""
+    torch = pytest.importorskip("torch")  # noqa: F841
+    rng = np.random.RandomState(0)
+    w = _synthetic_lpips_weights(rng)
+    path = tmp_path / "synth_lpips.npz"
+    np.savez(path, **w)
+    gen = rng.rand(*shape).astype(np.float32)
+    real = rng.rand(*shape).astype(np.float32)
+    ours = lpips_distance(gen, real, weights_path=path)
+    oracle = _torch_lpips_oracle(gen, real, w)
+    np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=1e-6)

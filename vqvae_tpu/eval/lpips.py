@@ -112,6 +112,8 @@ def lpips_distance(generated: np.ndarray, real: np.ndarray,
 
     def prep(imgs):
         x = jnp.asarray(imgs, jnp.float32)
+        if x.shape[-1] == 1:  # grayscale -> 3 channels (evaluate_model.py:95-97)
+            x = jnp.tile(x, (1, 1, 1, 3))
         x = jax.image.resize(x, (x.shape[0], target_size, target_size, 3),
                              "bilinear")
         return x * 2.0 - 1.0

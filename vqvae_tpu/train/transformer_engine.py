@@ -216,7 +216,9 @@ class TransformerEngine:
                 best_snapshot = jax.device_get(
                     {"params": state.params, "opt_state": state.opt_state,
                      "step": int(state.step), "epoch": epoch})
-            if ckptr and (epoch % 10 == 0 or epoch == num_epochs):
+            # every epoch, matching the reference's crash-resume granularity
+            # (reference train_transformer.py:84-87)
+            if ckptr:
                 ckptr.save("latest", {"params": state.params,
                                       "opt_state": state.opt_state,
                                       "step": int(state.step),

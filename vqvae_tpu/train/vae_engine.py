@@ -451,9 +451,14 @@ class VAEEngine:
         variables = self._variables(state.params, state.batch_stats)
         x_logits, _, _, _ = self.model.apply(
             variables, jnp.asarray(images), jax.random.key(0), False)
-        x_rec = jax.nn.sigmoid(x_logits) if self.model.apply_sigmoid else x_logits
+        # display space is [0,1]: sigmoid outputs are already there, while
+        # non-sigmoid reconstructions live in the dataset's normalized space
+        # (reference engine.py:186-202 find_normalize inversion)
+        if self.model.apply_sigmoid:
+            x_rec = np.asarray(jax.nn.sigmoid(x_logits))
+        else:
+            x_rec = val_loader.split.denormalize(np.asarray(x_logits))
         x = val_loader.split.denormalize(images)
-        x_rec = val_loader.split.denormalize(np.asarray(x_rec))
         grid = np.concatenate([np.clip(x[:8], 0, 1), np.clip(x_rec[:8], 0, 1)])
         path = save_image_grid(grid, output_dir / "recon_grid.png", nrow=8)
         if logger is not None:
