@@ -113,3 +113,43 @@ def test_approx_mode_high_recall(random_latents):
     assert recall > 0.9
     np.testing.assert_allclose(np.sort(d_ap, 1)[:, 0], np.sort(d_ex, 1)[:, 0],
                                atol=1e-4)
+
+
+def test_knn_adversarial_near_ties():
+    """VERDICT r1 item 8: clusters of >margin near-ties (1e-3 apart) must
+    not corrupt results. With the default margin the returned DISTANCES
+    must match the oracle within the tie spread; with margin >= cluster
+    size the INDEX sets must match exactly (the f32 re-rank resolves
+    distinct distances)."""
+    from vqvae_tpu.ops.knn import knn_search
+
+    rng = np.random.RandomState(0)
+    n_clusters, cluster_size, d = 24, 20, 16
+    centers = rng.randn(n_clusters, d).astype(np.float32) * 10.0
+    # each cluster: 20 points within ~1e-3 of its center, distinct offsets
+    pts = (centers[:, None, :]
+           + rng.randn(n_clusters, cluster_size, d).astype(np.float32) * 2e-4)
+    z = pts.reshape(-1, d)
+    k = 8
+
+    # numpy f64 oracle
+    d2 = ((z[:, None, :].astype(np.float64)
+           - z[None, :, :].astype(np.float64)) ** 2).sum(-1)
+    oracle_idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
+    oracle_d = np.sqrt(np.take_along_axis(d2, oracle_idx, axis=1))
+
+    # default margin: distance-level parity (ties may swap)
+    dd, ii = knn_search(z, k=k)
+    np.testing.assert_allclose(np.sort(dd, axis=1), oracle_d,
+                               rtol=1e-3, atol=2e-3)
+
+    # margin >= cluster size: exact index parity
+    dd2, ii2 = knn_search(z, k=k, margin=cluster_size + 4)
+    assert sorted_rows_equal(ii2, oracle_idx), (
+        "index mismatch with margin covering the tie cluster")
+    np.testing.assert_allclose(np.sort(dd2, axis=1), oracle_d,
+                               rtol=1e-5, atol=1e-5)
+
+
+def sorted_rows_equal(a, b):
+    return (np.sort(a, axis=1) == np.sort(b, axis=1)).all()

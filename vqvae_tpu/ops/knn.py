@@ -29,7 +29,7 @@ _INF = jnp.float32(jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile",
-                                             "db_tile", "approx"))
+                                             "db_tile", "approx", "margin"))
 def _knn_block(
     zq: jax.Array,        # (Qp, D) padded query block, f32 (pre-normalized
                           #  for cosine)
@@ -41,6 +41,7 @@ def _knn_block(
     query_tile: int,
     db_tile: int,
     approx: bool,
+    margin: int,
 ) -> Tuple[jax.Array, jax.Array]:
     Qp, D = zq.shape
     Np = z.shape[0]
@@ -48,9 +49,12 @@ def _knn_block(
     n_dt = Np // db_tile
     # The streaming distance matmul runs at default MXU precision (bf16
     # passes on TPU) and the |q|^2 - 2 q.x + |x|^2 form cancels for
-    # near-duplicates, so we over-select candidates with the fast form and
-    # re-rank them with exact f32 per-candidate distances.
-    k_sel = min(k + 4, Np)
+    # near-duplicates, so we over-select k+margin candidates with the fast
+    # form and re-rank them with exact f32 per-candidate distances. The
+    # result is exact whenever fewer than ``margin`` bf16-misranked
+    # near-ties collide per query; raise ``margin`` for data with larger
+    # near-duplicate clusters (adversarial test: tests/test_knn_graph.py).
+    k_sel = min(k + margin, Np)
 
     db_sq = (z * z).sum(axis=1)  # (Np,)
     row_valid = jnp.arange(Np, dtype=jnp.int32) < n_valid
@@ -123,6 +127,7 @@ def knn_search(
     db_tile: int = 8192,
     query_block: int = 131_072,
     approx: bool = False,
+    margin: int | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
@@ -132,7 +137,19 @@ def knn_search(
 
     ``VQVAE_TPU_KNN_DEVICE_MAX`` (rows, default 4M) routes larger inputs to
     the native threaded host kernel as an escape hatch.
+
+    ``margin`` (default 4, env ``VQVAE_TPU_KNN_MARGIN``): extra candidates
+    kept per query before the exact f32 re-rank. Results are exact unless
+    more than ``margin`` bf16 near-ties collide per query, in which case
+    any swapped neighbor differs by at most the tie spread; raise the
+    margin to cover known near-duplicate cluster sizes.
+
+    ``approx=True`` additionally relaxes per-tile candidate selection to
+    ``lax.approx_min_k`` with recall_target=0.95 (per-tile candidate
+    recall; reported distances stay exact for returned indices).
     """
+    if margin is None:
+        margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN", 4))
     z = np.asarray(z, dtype=np.float32)
     if z.ndim != 2:
         raise ValueError("z must be (N, D)")
@@ -172,7 +189,7 @@ def knn_search(
         q[:e - s] = zn[s:e]
         d, i = _knn_block(jnp.asarray(q), z_db_j, jnp.int32(n),
                           jnp.int32(e - s), k, metric, query_tile, db_tile,
-                          approx)
+                          approx, margin)
         dists[s:e] = np.asarray(d[:e - s])
         idxs[s:e] = np.asarray(i[:e - s]).astype(np.int64)
     return dists, idxs
