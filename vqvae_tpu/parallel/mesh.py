@@ -61,5 +61,14 @@ def local_device_count() -> int:
     return jax.local_device_count()
 
 
+def is_primary() -> bool:
+    """True on the process that should write artifacts/logs (process 0).
+
+    Single-process (incl. single-host multi-chip) is always primary; in
+    multi-host runs initialized via jax.distributed only process 0 is.
+    """
+    return jax.process_index() == 0
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
