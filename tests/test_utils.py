@@ -78,3 +78,33 @@ def test_image_grid_roundtrip(tmp_path):
     loaded = load_image(p)
     assert loaded.shape == grid.shape
     np.testing.assert_allclose(loaded, grid, atol=2 / 255)
+
+
+def test_make_results_table(tmp_path):
+    """tools/make_results_table renders the appendix-style tables
+    (reference template/appendix.md:100-113)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import make_results_table as mrt
+
+    for method, psnr in (("a/geo", 30.0), ("b/euc", 33.42)):
+        ev = tmp_path / method / "evaluation"
+        ev.mkdir(parents=True)
+        (ev / "metrics.yaml").write_text(
+            f"PSNR: '{psnr}'\nSSIM: '0.95'\nLPIPS: null\n")
+        (ev / "comparison_grid.png").write_bytes(b"png")
+        (ev / "quantization_analysis.json").write_text(json.dumps({
+            "psnr_real_vs_continuous": 12.0, "psnr_real_vs_quantized": 11.9,
+            "psnr_continuous_vs_quantized": 30.0,
+            "ssim_real_vs_continuous": 0.5, "ssim_real_vs_quantized": 0.49,
+            "ssim_continuous_vs_quantized": 0.9}))
+    doc = mrt.render(mrt.collect(tmp_path), tmp_path)
+    assert "**33.42**" in doc      # best PSNR bolded
+    assert "| a/geo | 30.00" in doc
+    assert "Table 2" in doc and "Figure 1" in doc
+    out = tmp_path / "results.md"
+    mrt.main(["--root", str(tmp_path), "--out", str(out)])
+    assert out.read_text() == doc
