@@ -59,6 +59,11 @@ def run_pipeline(
     timings: Dict[str, float] = {}
     t_total = time.perf_counter()
 
+    from ..utils.profiling import CompileStats
+
+    compiles = CompileStats.install()
+    c_total = compiles.snapshot()
+
     import os
     prev_cwd = os.getcwd()
     os.chdir(root_dir)
@@ -73,6 +78,7 @@ def run_pipeline(
                 continue
             print(f"[pipeline] === stage: {stage} ===")
             t0 = time.perf_counter()
+            c0 = compiles.snapshot()
             from ..utils.profiling import profile_trace
 
             try:
@@ -123,11 +129,16 @@ def run_pipeline(
                 else:
                     raise
             timings[stage] = time.perf_counter() - t0
-            print(f"[pipeline] {stage} done in {timings[stage]:.1f}s")
+            dc = compiles.delta(c0)
+            print(f"[pipeline] {stage} done in {timings[stage]:.1f}s "
+                  f"({dc['programs']} programs compiled, "
+                  f"{dc['compile_seconds']}s compiling)")
     finally:
         os.chdir(prev_cwd)
 
     timings["total"] = time.perf_counter() - t_total
+    dt = compiles.delta(c_total)
     print(f"[pipeline] TOTAL: {timings['total']:.1f}s "
-          f"({ {k: round(v, 1) for k, v in timings.items()} })")
+          f"({ {k: round(v, 1) for k, v in timings.items()} }); "
+          f"{dt['programs']} XLA programs, {dt['compile_seconds']}s compiling")
     return timings

@@ -35,6 +35,8 @@ re-use the running nearest-center distances across rounds.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -42,6 +44,11 @@ import jax.numpy as jnp
 import numpy as np
 
 _INF = np.float32(np.inf)
+
+# set VQVAE_TPU_ELL_STATS=1 to append per-solve records here (sweep count,
+# wall time, effective bytes/GB/s) — used by bench.py's utilization report.
+# Off by default: reading the sweep counter forces a host sync per solve.
+ELL_STATS: list = []
 
 
 class BucketedGraph(NamedTuple):
@@ -267,6 +274,20 @@ def multi_source_shortest_paths_ell(
         d0 = d0.at[sources, jnp.arange(k)].set(0.0)
     if max_iters is None:
         max_iters = n + 1
+    record = os.environ.get("VQVAE_TPU_ELL_STATS") == "1"
+    t0 = time.perf_counter() if record else 0.0
     d, iters = _ell_run(graph.nbrs, graph.wts, graph.perm_nodes,
                         graph.inv_perm, d0, jnp.int32(max_iters))
+    if record:
+        it = int(iters)  # device-to-host copy: the only reliable fence here
+        dt = time.perf_counter() - t0
+        e_pad = sum(int(nb.shape[0]) * int(nb.shape[1]) for nb in graph.nbrs)
+        kk = int(k)
+        # per sweep: gather a (K,) distance row + idx + weight per edge slot,
+        # read + write the (N_pad, K) matrix once
+        swept = it * (e_pad * (kk * 4 + 8)
+                      + 2 * int(graph.perm_nodes.shape[0]) * kk * 4)
+        ELL_STATS.append({"iters": it, "seconds": dt, "k": kk,
+                          "bytes": swept,
+                          "gbps": swept / max(dt, 1e-9) / 1e9})
     return (d, iters) if return_iters else d
