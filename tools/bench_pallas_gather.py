@@ -37,19 +37,28 @@ CHUNK = 1024  # gathered rows per grid step (index block lives in SMEM)
 
 
 def _gather_min_kernel(idx_ref, d_hbm, out_ref, scratch, sems):
-    """min-reduce CHUNK random rows of d_hbm, S-deep DMA pipeline."""
+    """min-reduce CHUNK random rows of d_hbm, S-deep DMA pipeline.
+
+    ``d_hbm`` is the (N, K) matrix FLATTENED to (N*K,): Mosaic cannot slice
+    a single row out of an (8,128)-tiled 2-D HBM memref (sublane tiling),
+    but a 1-D (K,)-sized block at a K-aligned dynamic offset is legal for
+    K % 128 == 0 — the "row gather as 1-D block copy" trick.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     step = pl.program_id(0)
-    s_depth = scratch.shape[0]
+    k = out_ref.shape[1]
+    s_depth = scratch.shape[0] // k  # scratch is 1-D: (slots * k,)
 
     def dma(slot, j):
+        # both sides 1-D: 2-D (8,128)-tiled memrefs cannot be sliced at
+        # single-row granularity, but k-aligned 1-D blocks can
         return pltpu.make_async_copy(
-            d_hbm.at[pl.ds(idx_ref[j], 1), :],
-            scratch.at[slot],
+            d_hbm.at[pl.ds(pl.multiple_of(idx_ref[j] * k, k), k)],
+            scratch.at[pl.ds(pl.multiple_of(slot * k, k), k)],
             sems.at[slot],
         )
 
@@ -61,18 +70,20 @@ def _gather_min_kernel(idx_ref, d_hbm, out_ref, scratch, sems):
         def _():
             dma((j + s_depth - 1) % s_depth, j + s_depth - 1).start()
 
-        dma(j % s_depth, j).wait()
-        return jnp.minimum(acc, scratch[j % s_depth])
+        slot = j % s_depth
+        dma(slot, j).wait()
+        row = scratch[pl.ds(pl.multiple_of(slot * k, k), k)]
+        return jnp.minimum(acc, row)
 
     acc = jax.lax.fori_loop(
         0, CHUNK, body,
-        jnp.full((1, out_ref.shape[1]), jnp.inf, jnp.float32))
+        jnp.full((out_ref.shape[1],), jnp.inf, jnp.float32))
 
     @pl.when(step == 0)
     def _():
         out_ref[:] = jnp.full_like(out_ref, jnp.inf)
 
-    out_ref[:] = jnp.minimum(out_ref[:], acc)
+    out_ref[:] = jnp.minimum(out_ref[:], acc[None, :])
 
 
 @functools.partial(__import__("jax").jit,
@@ -85,7 +96,7 @@ def pallas_gather_min(d, idx, slots: int = 8, interpret: bool = False):
 
     r = idx.shape[0]
     k = d.shape[1]
-    assert r % CHUNK == 0
+    assert r % CHUNK == 0 and k % 128 == 0
     grid = (r // CHUNK,)
     return pl.pallas_call(
         _gather_min_kernel,
@@ -98,11 +109,11 @@ def pallas_gather_min(d, idx, slots: int = 8, interpret: bool = False):
         out_specs=pl.BlockSpec((1, k), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((slots, 1, k), jnp.float32),
+            pltpu.VMEM((slots * k,), jnp.float32),
             pltpu.SemaphoreType.DMA((slots,)),
         ],
         interpret=interpret,
-    )(idx, d)
+    )(idx, d.reshape(-1))
 
 
 def _fence(x) -> float:

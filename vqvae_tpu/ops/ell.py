@@ -189,7 +189,7 @@ def _row_chunk(n_rows: int) -> int:
     return c
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(4,))
 def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
     """Gauss-Seidel relaxation in permuted (bucket-row) layout.
 
