@@ -108,3 +108,11 @@ def test_make_results_table(tmp_path):
     out = tmp_path / "results.md"
     mrt.main(["--root", str(tmp_path), "--out", str(out)])
     assert out.read_text() == doc
+
+    # latex renderer (paper/main.tex \input): balanced envs, best bolded
+    tex = mrt.render_latex(mrt.collect(tmp_path), tmp_path)
+    assert r"\textbf{33.42}" in tex
+    assert tex.count(r"\begin{table}") == tex.count(r"\end{table}") == 2
+    assert tex.count(r"\begin{tabular}") == tex.count(r"\end{tabular}")
+    assert r"\begin{figure}" in tex and r"\end{figure}" in tex
+    assert "a/geo" in tex and "&" in tex

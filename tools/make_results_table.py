@@ -4,7 +4,8 @@ artifacts (reference template/appendix.md:100-113, main.tex:128-135).
 
 Scans ``experiments/**/evaluation/`` for metrics.yaml (generation-quality
 PSNR/SSIM/LPIPS vs real images) and quantization_analysis.json (the
-quantization-loss PSNR/SSIM pairs), and renders one markdown document:
+quantization-loss PSNR/SSIM pairs), and renders one document (markdown by
+default, LaTeX with ``--format latex`` for ``paper/main.tex``):
 
 - Table 1: per-method comparison with the best value per column bolded,
 - Table 2: quantization-loss analysis (real vs continuous vs quantized),
@@ -12,6 +13,8 @@ quantization-loss PSNR/SSIM pairs), and renders one markdown document:
 
 Usage:
     python tools/make_results_table.py [--root experiments] [--out FILE]
+    python tools/make_results_table.py --format latex \
+        --out paper/results_tables.tex
 """
 from __future__ import annotations
 
@@ -121,12 +124,97 @@ def render(rows, root: Path) -> str:
     return "\n".join(out)
 
 
+def _tex(s: str) -> str:
+    for ch in "&%$#_{}":
+        s = s.replace(ch, "\\" + ch)
+    return s
+
+
+def _fmt_tex(v, best: bool, nd: int) -> str:
+    if v is None:
+        return "---"
+    s = f"{float(v):.{nd}f}"
+    return rf"\textbf{{{s}}}" if best else s
+
+
+def render_latex(rows, root: Path) -> str:
+    """Booktabs tables for ``paper/main.tex`` (same content as the
+    markdown renderer; reference main.tex:128-135 publishes the
+    equivalent comparison table)."""
+    out = [f"% auto-generated by tools/make_results_table.py from {root}",
+           "% regenerate: python tools/make_results_table.py "
+           "--format latex --out paper/results_tables.tex"]
+    if not rows:
+        return "\n".join(out + ["% (no evaluation artifacts found)", ""])
+
+    def best(key, hi=True):
+        vals = [r[key] for r in rows if r[key] is not None]
+        return (max(vals) if hi else min(vals)) if vals else None
+
+    b_psnr, b_ssim = best("psnr"), best("ssim")
+    b_lpips = best("lpips", hi=False)
+    has_lpips = any(r["lpips"] is not None for r in rows)
+    cols = "lrr" + ("r" if has_lpips else "")
+    head = (r"Method & PSNR (dB) $\uparrow$ & SSIM $\uparrow$"
+            + (r" & LPIPS $\downarrow$" if has_lpips else "") + r" \\")
+    out += [r"\begin{table}[t]", r"\centering",
+            r"\caption{Quantization method comparison.}",
+            r"\label{tab:comparison}",
+            rf"\begin{{tabular}}{{{cols}}}", r"\toprule", head, r"\midrule"]
+    for r in rows:
+        line = (f"{_tex(r['method'])} & "
+                f"{_fmt_tex(r['psnr'], r['psnr'] == b_psnr, 2)} & "
+                f"{_fmt_tex(r['ssim'], r['ssim'] == b_ssim, 4)}")
+        if has_lpips:
+            line += f" & {_fmt_tex(r['lpips'], r['lpips'] == b_lpips, 4)}"
+        out.append(line + r" \\")
+    out += [r"\bottomrule", r"\end{tabular}", r"\end{table}", ""]
+
+    quant_rows = [r for r in rows if r["quant"]]
+    if quant_rows:
+        out += [r"\begin{table}[t]", r"\centering",
+                r"\caption{Quantization-loss analysis (PSNR dB / SSIM); "
+                r"continuous$\to$quantized isolates the codebook's cost.}",
+                r"\label{tab:quantization-loss}",
+                r"\begin{tabular}{lccc}", r"\toprule",
+                r"Method & real$\to$cont & real$\to$quant "
+                r"& cont$\to$quant \\", r"\midrule"]
+        for r in quant_rows:
+            q = r["quant"]
+            out.append(
+                f"{_tex(r['method'])} & "
+                f"{q['psnr_real_vs_continuous']:.2f} / "
+                f"{q['ssim_real_vs_continuous']:.4f} & "
+                f"{q['psnr_real_vs_quantized']:.2f} / "
+                f"{q['ssim_real_vs_quantized']:.4f} & "
+                f"{q['psnr_continuous_vs_quantized']:.2f} / "
+                f"{q['ssim_continuous_vs_quantized']:.4f}" + r" \\")
+        out += [r"\bottomrule", r"\end{tabular}", r"\end{table}", ""]
+
+    grids = [r for r in rows if r["grid"]]
+    if grids:
+        w = max(0.95 / len(grids) - 0.01, 0.1)
+        out += [r"\begin{figure}[t]", r"\centering"]
+        for r in grids:
+            out += [rf"\begin{{subfigure}}{{{w:.2f}\textwidth}}",
+                    rf"  \includegraphics[width=\textwidth]{{{r['grid']}}}",
+                    rf"  \caption{{{_tex(r['method'])}}}",
+                    r"\end{subfigure}"]
+        out += [r"\caption{Qualitative comparison (top: originals, "
+                r"bottom: reconstructions).}",
+                r"\label{fig:comparison}", r"\end{figure}", ""]
+    return "\n".join(out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="experiments", type=Path)
     ap.add_argument("--out", default=None, type=Path)
+    ap.add_argument("--format", choices=("markdown", "latex"),
+                    default="markdown")
     args = ap.parse_args(argv)
-    doc = render(collect(args.root), args.root)
+    renderer = render_latex if args.format == "latex" else render
+    doc = renderer(collect(args.root), args.root)
     if args.out:
         args.out.parent.mkdir(parents=True, exist_ok=True)
         args.out.write_text(doc)
