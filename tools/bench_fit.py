@@ -34,9 +34,12 @@ def main():
     ap.add_argument("--codes", type=int, default=512)
     ap.add_argument("--knn", type=int, default=10)
     ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--schedule", default="flat")
     ap.add_argument("--backends", default="auto")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--graph-cache", default=None,
+                    help="npz path caching the kNN graph at this shape")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -52,12 +55,25 @@ def main():
 
     print(f"devices={jax.devices()} nodes={args.nodes} K={args.codes}",
           file=sys.stderr)
-    z = make_latents(args.nodes, dim=16, seed=0)
-    t0 = time.perf_counter()
-    W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
-                           mode="distance", sym="union")
-    print(f"[graph] {time.perf_counter() - t0:.1f}s nnz={W.nnz}",
-          file=sys.stderr)
+    cache = Path(args.graph_cache) if args.graph_cache else None
+    if cache is not None and cache.exists():
+        from scipy import sparse
+
+        W = sparse.load_npz(cache)
+        assert W.shape[0] == args.nodes, (W.shape, args.nodes)
+        print(f"[graph] loaded {cache} nnz={W.nnz}", file=sys.stderr)
+    else:
+        z = make_latents(args.nodes, dim=16, seed=0)
+        t0 = time.perf_counter()
+        W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
+                               mode="distance", sym="union")
+        print(f"[graph] {time.perf_counter() - t0:.1f}s nnz={W.nnz}",
+              file=sys.stderr)
+        if cache is not None:
+            from scipy import sparse
+
+            sparse.save_npz(cache, W.tocsr())
+            print(f"[graph] saved {cache}", file=sys.stderr)
 
     results = {}
     for backend in args.backends.split(","):

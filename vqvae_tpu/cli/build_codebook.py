@@ -96,8 +96,13 @@ def build_codebook_main(cfg: Config) -> Path:
     K = int(quant_cfg.get("K", cfg.get("K", 512)))
     init = str(quant_cfg.get("init", cfg.get("init", "kpp_parallel")))
     seed = int(quant_cfg.get("seed", cfg.get("seed", 42)))
+    kpp_rounds = int(quant_cfg.get("kpp_rounds", cfg.get("kpp_rounds", 4)))
+    kpp_schedule = str(quant_cfg.get("kpp_schedule",
+                                     cfg.get("kpp_schedule", "flat")))
     t0 = time.perf_counter()
-    medoids, assign_lcc, qe = fit_kmedoids(W_lcc, K=K, init=init, seed=seed)
+    medoids, assign_lcc, qe = fit_kmedoids(W_lcc, K=K, init=init, seed=seed,
+                                           kpp_rounds=kpp_rounds,
+                                           kpp_schedule=kpp_schedule)
     t_kmed = time.perf_counter() - t0
     print(f"[codebook] K-medoids: K={len(medoids)}, qe={qe:.3f} ({t_kmed:.1f}s)")
 
@@ -111,6 +116,7 @@ def build_codebook_main(cfg: Config) -> Path:
         "out_dir": str(out_dir),
         "vae_ckpt_path": str(cfg["vae_ckpt_path"]),
         "k": k, "sym": sym, "K": K, "init": init, "seed": seed,
+        "kpp_rounds": kpp_rounds, "kpp_schedule": kpp_schedule,
         "batch_size": batch_size,
         **{f"vae_{kk}": (list(v) if isinstance(v, tuple) else v)
            for kk, v in vae_cfg.items()},

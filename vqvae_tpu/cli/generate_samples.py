@@ -88,8 +88,9 @@ def generate_samples_main(cfg: Config) -> Path:
         zq = codebook_vectors[codes]  # (B, 16, latent_dim)
         zq = zq.reshape(n_total, 4, 4, latent_dim)  # NHWC grid
 
-    logits = vae.apply(vae_vars, zq, method=vae.decode)
-    final = np.asarray(jax.nn.sigmoid(logits))
+    final = np.asarray(jax.jit(
+        lambda v, z: jax.nn.sigmoid(vae.apply(v, z, method=vae.decode))
+    )(vae_vars, zq))
     out_dir = Path(cfg["output_dir"])
     out_path = out_dir / str(cfg.get("output_filename", "generated_samples.png"))
     save_image_grid(final, out_path, nrow=samples_per_class, padding=2)

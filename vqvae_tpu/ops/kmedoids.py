@@ -18,7 +18,11 @@ Two initializations:
   reference's 511 sequential Dijkstra chains into ~R source-batched sweeps,
   which is what makes the TPU formulation fast. Statistically equivalent
   (QE parity within tolerance), not bitwise: seeded-determinism holds
-  within this framework.
+  within this framework. Default ``rounds=4``: relaxation time per pass is
+  sublinear in source count, so fewer/wider rounds are faster (983k/K=512
+  on v5e: 21.3s at 4 rounds vs 52.5s at 8) and QE is flat in the round
+  count (QE-parity contract tests at 16k/49k; measured 983k curve in
+  docs/benchmarks.md).
 
 Backends (ops.backend): shortest paths run device-side (source-batched
 Bellman-Ford over the mesh) at scale, or through the native C++ Dijkstra
@@ -201,7 +205,7 @@ def _pick_schedule(K: int, width: int, schedule: str) -> List[int]:
 
 
 def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
-                                rounds: int = 8,
+                                rounds: int = 4,
                                 backend: str = "auto",
                                 return_assignment: bool = False,
                                 schedule: str = "flat"):
@@ -334,7 +338,7 @@ def fit_kmedoids(
     K: int = 512,
     init: str = "kpp",
     seed: int = 42,
-    kpp_rounds: int = 8,
+    kpp_rounds: int = 4,
     kpp_schedule: str = "flat",
     backend: str = "auto",
     reorder: bool = True,

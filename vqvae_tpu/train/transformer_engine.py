@@ -57,7 +57,9 @@ class TransformerEngine:
         rng = jax.random.key(self.seed)
         x = jnp.zeros((batch_size, seq_len), jnp.int32)
         y = jnp.zeros((batch_size,), jnp.int32) if self.model.num_classes > 0 else None
-        variables = self.model.init({"params": rng}, x, y=y)
+        # jitted init: one compiled program instead of one per eager flax op
+        variables = jax.jit(
+            lambda r, xb: self.model.init({"params": r}, xb, y=y))(rng, x)
         state = TrainState.create(apply_fn=self.model.apply,
                                   params=variables["params"], tx=self.tx,
                                   batch_stats={})
@@ -240,11 +242,20 @@ def sample_autoregressive(
 ) -> jax.Array:
     """KV-cached AR sampling with temperature + top-k filtering
     (reference generate_samples.py:12-31 semantics, minus the O(T^2)
-    full-prefix recompute)."""
+    full-prefix recompute). The whole sample — cache init, prompt priming
+    and the generation scan — is ONE jitted program."""
+    return _sample_jit(model, params, jnp.asarray(first_tokens), int(steps),
+                       rng, float(temperature),
+                       None if top_k is None else int(top_k), labels)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "steps", "temperature",
+                                             "top_k"))
+def _sample_jit(model, params, first_tokens, steps, rng, temperature,
+                top_k, labels) -> jax.Array:
     b, t0 = first_tokens.shape
 
     cache = model.init_cache(b)
-    variables = {"params": params, "cache": cache}
 
     # prime the cache with the prompt, one token at a time
     def prime(carry, i):

@@ -68,8 +68,11 @@ class VAEEngine:
     # -- state ---------------------------------------------------------------
     def init_state(self, sample_images: np.ndarray) -> TrainState:
         rng = jax.random.key(self.seed)
-        variables = self.model.init({"params": rng},
-                                    jnp.asarray(sample_images[:1]), rng, True)
+        # jitted init: eager flax init executes one tiny XLA program per op
+        # (dozens of remote compiles on this platform); jit folds it into one
+        variables = jax.jit(
+            lambda r, x: self.model.init({"params": r}, x, r, True)
+        )(rng, jnp.asarray(sample_images[:1]))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         state = TrainState.create(apply_fn=self.model.apply, params=params,
@@ -449,8 +452,9 @@ class VAEEngine:
                          logger=None) -> None:
         images, _, _ = next(iter(val_loader.epoch(0)))
         variables = self._variables(state.params, state.batch_stats)
-        x_logits, _, _, _ = self.model.apply(
-            variables, jnp.asarray(images), jax.random.key(0), False)
+        x_logits, _, _, _ = jax.jit(
+            lambda v, x: self.model.apply(v, x, jax.random.key(0), False)
+        )(variables, jnp.asarray(images))
         # display space is [0,1]: sigmoid outputs are already there, while
         # non-sigmoid reconstructions live in the dataset's normalized space
         # (reference engine.py:186-202 find_normalize inversion)

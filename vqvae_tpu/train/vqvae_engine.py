@@ -64,7 +64,9 @@ class VQVAEEngine:
         rng = jax.random.key(self.seed)
         k1, k2 = jax.random.split(rng)
         x = jnp.zeros((1, *image_shape), jnp.float32)
-        variables = self.model.init({"params": k1}, x)
+        # jitted init: one compiled program instead of one per eager flax op
+        variables = jax.jit(
+            lambda r, xb: self.model.init({"params": r}, xb))(k1, x)
         state = TrainState.create(apply_fn=self.model.apply,
                                   params=variables["params"], tx=self.tx,
                                   batch_stats={})
@@ -197,11 +199,16 @@ class VQVAEEngine:
     def _save_recons(self, state, cb, loader, outdir: Path, epoch: int):
         images, _, _ = next(iter(loader.epoch(0)))
         x01 = loader.split.denormalize(images[:32])
-        x = jnp.asarray(x01, jnp.float32) * 2.0 - 1.0
-        z_e = self.model.apply({"params": state.params}, x,
-                               method=self.model.encode)
-        z_q, _ = quantize(cb, z_e)
-        x_rec = self.model.apply({"params": state.params}, z_q,
-                                 method=self.model.decode)
-        img = (np.asarray(x_rec) + 1.0) / 2.0  # [-1,1] -> [0,1]
+        @jax.jit
+        def recon(params, cb, x01):
+            x = x01 * 2.0 - 1.0
+            z_e = self.model.apply({"params": params}, x,
+                                   method=self.model.encode)
+            z_q, _ = quantize(cb, z_e)
+            x_rec = self.model.apply({"params": params}, z_q,
+                                     method=self.model.decode)
+            return (x_rec + 1.0) / 2.0  # [-1,1] -> [0,1]
+
+        img = np.asarray(recon(state.params, cb,
+                               jnp.asarray(x01, jnp.float32)))
         save_image_grid(img, outdir / f"recon_epoch{epoch:04d}.png", nrow=8)
