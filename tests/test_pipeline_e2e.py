@@ -60,10 +60,22 @@ def _tiny_overrides(tmp_path: Path, spatial: bool):
 
 @pytest.mark.slow
 def test_sandbox_spatial_geodesic_pipeline(tmp_path):
+    from vqvae_tpu.utils.profiling import CompileStats
+
+    compiles = CompileStats.install()
+    before = compiles.snapshot()
     exp, ov = _tiny_overrides(tmp_path, spatial=True)
     timings = run_pipeline("configs/sandbox-fashion/geodesic", overrides=ov)
     assert set(timings) >= {"vae", "codebook", "transformer", "generate",
                             "evaluate", "total"}
+    # program-count regression guard: on the remote-compile TPU platform
+    # every program costs minutes, so eager-execution creep is a perf bug.
+    # Measured 66 for the full 6-stage run (2026-08, jit-wrapped inits);
+    # the pre-fix count was 324.
+    n_programs = compiles.delta(before)["programs"]
+    assert n_programs <= 120, (
+        f"pipeline compiled {n_programs} XLA programs (>120): some stage "
+        f"is executing eagerly again — find it with JAX_LOG_COMPILES=1")
     exp = Path(exp)
     # artifact contract
     assert (exp / "vae/spatial_vae_fashionmnist/checkpoints/best").exists()
