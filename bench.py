@@ -68,7 +68,7 @@ def make_latents(n_nodes: int, dim: int = 16, seed: int = 0) -> np.ndarray:
 def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     from scipy import sparse
 
-    from vqvae_tpu.ops import (build_knn_graph, edge_lengths_riemannian,
+    from vqvae_tpu.ops import (build_knn_graph, edge_lengths_riemannian_auto,
                                fit_kmedoids, largest_connected_component)
     from vqvae_tpu.ops.ell import ELL_STATS
 
@@ -83,8 +83,8 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     keep = rows < cols
     rows, cols = rows[keep], cols[keep]
     t1 = time.perf_counter()
-    lengths = edge_lengths_riemannian(decode_fn, z[rows], z[cols],
-                                      batch_size=4096)
+    lengths = edge_lengths_riemannian_auto(decode_fn, z, rows, cols,
+                                           batch_size=4096)
     t_riem = time.perf_counter() - t1
     W_geo = sparse.csr_matrix((lengths, (rows, cols)), shape=W.shape)
     W_geo = W_geo + W_geo.T

@@ -97,3 +97,44 @@ def test_spatial_decoder_1x1_grid():
     lengths = edge_lengths_riemannian(decode_fn, za, zb, batch_size=4)
     assert lengths.shape == (9,)
     assert np.isfinite(lengths).all()
+
+
+def test_nodal_matches_edgewise(linear_decode_fn):
+    """edge_lengths_riemannian_nodal (per-node pullback metrics) computes
+    the identical quantity as the 2-JVPs-per-edge path."""
+    from vqvae_tpu.ops.riemannian import edge_lengths_riemannian_nodal
+
+    decode, W = linear_decode_fn
+    rng = np.random.RandomState(8)
+    z = rng.randn(50, 4).astype(np.float32)
+    rows = rng.randint(0, 50, size=200)
+    cols = rng.randint(0, 50, size=200)
+    nodal = edge_lengths_riemannian_nodal(decode, z, rows, cols,
+                                          batch_size=16, edge_block=64)
+    edgewise = edge_lengths_riemannian(decode, z[rows], z[cols],
+                                       batch_size=32)
+    np.testing.assert_allclose(nodal, edgewise, rtol=1e-4, atol=1e-5)
+    ref = _analytic_length(W, z[rows], z[cols])
+    np.testing.assert_allclose(nodal, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_nodal_spatial_decoder():
+    from vqvae_tpu.models import VAE
+    from vqvae_tpu.ops.riemannian import (edge_lengths_riemannian_nodal,
+                                          make_decoder_image_fn)
+
+    m = VAE(in_channels=1, latent_dim=8, topology="spatial",
+            output_image_size=28, norm_type="none",
+            enc_channels=(8, 16, 32), dec_channels=(32, 16, 8))
+    x = jnp.zeros((1, 28, 28, 1))
+    variables = m.init({"params": jax.random.key(0)}, x)
+    decode_fn = make_decoder_image_fn(m, variables, "spatial")
+    rng = np.random.RandomState(9)
+    z = rng.randn(12, 8).astype(np.float32)
+    rows = rng.randint(0, 12, size=30)
+    cols = rng.randint(0, 12, size=30)
+    nodal = edge_lengths_riemannian_nodal(decode_fn, z, rows, cols,
+                                          batch_size=4)
+    edgewise = edge_lengths_riemannian(decode_fn, z[rows], z[cols],
+                                       batch_size=8)
+    np.testing.assert_allclose(nodal, edgewise, rtol=1e-3, atol=1e-5)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""kNN kernel tile-shape sweep on the real chip.
+
+The codebook stage is now dominated by the exact kNN build (the k-medoids
+fit dropped to ~21s at 983k/K=512), so the block kernel's tile shapes
+matter. Sweeps (query_tile, db_tile, approx) at a fixed shape and reports
+steady-state seconds per full self-kNN.
+
+Usage:
+  python tools/bench_knn.py --nodes 196608 --k 10 \
+      --cases 1024x8192,1024x16384,2048x8192 --approx 0,1
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=196608)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cases", default="1024x8192,1024x16384,1024x32768,"
+                                       "2048x8192,2048x16384,512x8192")
+    ap.add_argument("--approx", default="0,1")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from bench import make_latents  # noqa: E402
+
+    from vqvae_tpu.ops.knn import knn_search
+
+    print(f"devices={jax.devices()} nodes={args.nodes} k={args.k}",
+          file=sys.stderr)
+    z = make_latents(args.nodes, dim=args.dim, seed=0)
+    results = {}
+    for case in args.cases.split(","):
+        qt, dt = (int(x) for x in case.split("x"))
+        for ap_flag in (int(x) for x in args.approx.split(",")):
+            times = []
+            for r in range(args.runs + 1):  # run 0 = compile
+                t0 = time.perf_counter()
+                d, i = knn_search(z, k=args.k + 1, query_tile=qt, db_tile=dt,
+                                  approx=bool(ap_flag))
+                # d/i are host numpy — already fenced
+                dt_s = time.perf_counter() - t0
+                if r > 0:
+                    times.append(dt_s)
+            # cheap exactness probe: self-distance must be 0 at every row
+            self_ok = bool((d[:, 0] <= 1e-5).all())
+            key = f"{case}-approx{ap_flag}"
+            results[key] = {"seconds": round(min(times), 2),
+                            "self_ok": self_ok}
+            print(f"[{key}] {min(times):.2f}s (all runs: "
+                  f"{[round(t, 2) for t in times]}, self_ok={self_ok})",
+                  file=sys.stderr)
+    print(json.dumps({"nodes": args.nodes, "k": args.k, "results": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -24,7 +24,7 @@ import numpy as np
 from scipy import sparse
 
 from ..config import Config
-from ..ops import (build_knn_graph_auto, edge_lengths_riemannian,
+from ..ops import (build_knn_graph_auto, edge_lengths_riemannian_auto,
                    fit_kmedoids, largest_connected_component)
 from ..ops.riemannian import make_decoder_image_fn
 from ..utils.checkpoint import load_vae_from_checkpoint
@@ -74,8 +74,8 @@ def build_codebook_main(cfg: Config) -> Path:
     batch_size = int(cfg.get("system", Config({})).get(
         "batch_size", cfg.get("batch_size", 512)))
     t0 = time.perf_counter()
-    lengths = edge_lengths_riemannian(decode_fn, z_flat[rows], z_flat[cols],
-                                      batch_size=batch_size)
+    lengths = edge_lengths_riemannian_auto(decode_fn, z_flat, rows, cols,
+                                           batch_size=batch_size)
     t_riem = time.perf_counter() - t0
     print(f"[codebook] Riemannian re-weighting: {len(lengths)} edges "
           f"({t_riem:.1f}s)")

@@ -18,7 +18,9 @@ from .kmedoids import (
     assign_points_to_medoids,
     compute_quantization_error,
 )
-from .riemannian import edge_lengths_riemannian
+from .riemannian import (edge_lengths_riemannian,
+                         edge_lengths_riemannian_auto,
+                         edge_lengths_riemannian_nodal)
 from .ell import BucketedGraph, multi_source_shortest_paths_ell
 from .kmeans_euclidean import fit_kmeans
 from .pallas_assign import nearest_codes
@@ -45,4 +47,6 @@ __all__ = [
     "assign_points_to_medoids",
     "compute_quantization_error",
     "edge_lengths_riemannian",
+    "edge_lengths_riemannian_auto",
+    "edge_lengths_riemannian_nodal",
 ]

@@ -53,6 +53,120 @@ def _batched_lengths(decode_fn, z_start_chunks, z_end_chunks):
     return jax.lax.map(one_chunk, (z_start_chunks, z_end_chunks))
 
 
+@functools.partial(jax.jit, static_argnames=("decode_fn",))
+def _pullback_metrics(decode_fn, z_chunks):
+    """Per-node pullback metric G(z) = J(z)^T J(z), J the decoder Jacobian.
+
+    One ``jax.linearize`` per chunk shares the primal decode across all D
+    tangent propagations (D = latent dim), so a node costs D linear passes
+    — vs 2 full JVPs per incident *edge* in the edgewise path.
+    """
+    d = z_chunks.shape[-1]
+    basis = jnp.eye(d, dtype=z_chunks.dtype)
+
+    def one_chunk(zb):  # (B, D) -> (B, D, D)
+        _, f_lin = jax.linearize(decode_fn, zb)
+
+        def col(e):  # tangent e broadcast over the batch -> (B, P)
+            return f_lin(jnp.broadcast_to(e, zb.shape))
+
+        Jt = jax.vmap(col)(basis)  # (D, B, P)
+        Jt = Jt.astype(jnp.float32)
+        return jnp.einsum("ibp,jbp->bij", Jt, Jt)
+
+    return jax.lax.map(one_chunk, z_chunks)
+
+
+def pullback_metrics(decode_fn: Callable, z: np.ndarray,
+                     batch_size: int = 1024) -> np.ndarray:
+    """(N, D, D) pullback metrics for all nodes, chunked under one jit."""
+    z = np.asarray(z, np.float32)
+    n, d = z.shape
+    if n == 0:
+        return np.empty((0, d, d), np.float32)
+    bs = min(batch_size, n)
+    n_pad = ((n + bs - 1) // bs) * bs
+    if n_pad > n:
+        z = np.concatenate([z, np.zeros((n_pad - n, d), np.float32)])
+    chunks = jnp.asarray(z).reshape(n_pad // bs, bs, d)
+    G = _pullback_metrics(decode_fn, chunks)
+    return np.asarray(G).reshape(n_pad, d, d)[:n]
+
+
+@jax.jit
+def _edge_lengths_from_metrics(G, z, rows, cols):
+    v = z[cols] - z[rows]
+    qa = jnp.einsum("ei,eij,ej->e", v, G[rows], v)
+    qb = jnp.einsum("ei,eij,ej->e", v, G[cols], v)
+    return 0.5 * (jnp.sqrt(jnp.maximum(qa, 0.0))
+                  + jnp.sqrt(jnp.maximum(qb, 0.0)))
+
+
+def edge_lengths_riemannian_nodal(
+    decode_fn: Callable,
+    z: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    batch_size: int = 1024,
+    edge_block: int = 1_048_576,
+) -> np.ndarray:
+    """Edgewise-identical Riemannian lengths via per-node pullback metrics.
+
+    Computes ``|J(z_a) v|`` as ``sqrt(v^T G(z_a) v)`` with G precomputed per
+    node — the same quantity ``edge_lengths_riemannian`` evaluates with two
+    JVPs per edge (float-associativity differences only). Wins whenever the
+    latent dim D is below the average node degree x2 (spatial codebooks:
+    D=16, degree ~16-20): the kNN-graph node visits drop from 2E to N x D
+    tangent passes, and the per-node sweep is a clean batched decode instead
+    of edge-ordered gathers. Reference semantics: riemannian_metric.py:12-35
+    (same half-sum-of-endpoint-norms edge length).
+    """
+    z = np.asarray(z, np.float32)
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    G = pullback_metrics(decode_fn, z, batch_size=batch_size)
+    e = rows.shape[0]
+    if e == 0:
+        return np.empty((0,), np.float32)
+    blk = min(edge_block, e)
+    e_pad = ((e + blk - 1) // blk) * blk  # pad: every block shares 1 program
+    if e_pad > e:
+        rows = np.concatenate([rows, np.zeros(e_pad - e, rows.dtype)])
+        cols = np.concatenate([cols, np.zeros(e_pad - e, cols.dtype)])
+    out = np.empty((e_pad,), np.float32)
+    G_j = jnp.asarray(G)
+    z_j = jnp.asarray(z)
+    for s in range(0, e_pad, blk):
+        out[s:s + blk] = np.asarray(_edge_lengths_from_metrics(
+            G_j, z_j, jnp.asarray(rows[s:s + blk]),
+            jnp.asarray(cols[s:s + blk])))
+    return out[:e]
+
+
+def edge_lengths_riemannian_auto(
+    decode_fn: Callable,
+    z: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    batch_size: int = 1024,
+) -> np.ndarray:
+    """Pick the cheaper Riemannian edge-length engine by estimated work.
+
+    Nodal cost ~ N x (D+1) decoder passes (one shared primal + D tangents
+    per node via ``jax.linearize``); edgewise cost ~ 4 x E (two JVPs per
+    edge, each a primal + tangent pass). Spatial codebooks (D=16, degree
+    ~16-20) take the nodal path; high-D flat latents (D=128) stay edgewise.
+    """
+    n, d = np.asarray(z).shape
+    e = len(rows)
+    if n * (d + 1) < 4 * e:
+        return edge_lengths_riemannian_nodal(decode_fn, z, rows, cols,
+                                             batch_size=batch_size)
+    z = np.asarray(z, np.float32)
+    return edge_lengths_riemannian(decode_fn, z[rows], z[cols],
+                                   batch_size=batch_size)
+
+
 def edge_lengths_riemannian(
     decode_fn: Callable,
     z_start: np.ndarray,
