@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Nodal vs edgewise Riemannian edge-length engines on the real chip.
+
+Same decoder + graph shape as bench.py's north-star run; times each engine
+back-to-back in ONE session so the shared platform's day-to-day variance
+cannot confound the comparison (round-1/round-2 cross-session numbers
+differed 2x on identical code).
+
+Usage:
+  python tools/bench_riemannian.py --nodes 983040 --knn 10 --runs 2
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=196608)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--knn", type=int, default=10)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--engines", default="nodal,edgewise")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from bench import make_latents  # noqa: E402
+
+    from vqvae_tpu.models import VAE
+    from vqvae_tpu.ops import (build_knn_graph, edge_lengths_riemannian,
+                               edge_lengths_riemannian_nodal)
+    from vqvae_tpu.ops.riemannian import make_decoder_image_fn
+
+    print(f"devices={jax.devices()}", file=sys.stderr)
+    z = make_latents(args.nodes, dim=args.dim, seed=0)
+    model = VAE(in_channels=1, latent_dim=args.dim, topology="spatial",
+                output_image_size=28, norm_type="batch", recon_loss="mse",
+                enc_channels=(64, 128, 256), dec_channels=(256, 128, 64))
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x))(
+        jax.random.key(0), np.zeros((1, 28, 28, 1), np.float32))
+    decode_fn = make_decoder_image_fn(model, variables, "spatial")
+
+    W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
+                           mode="connectivity", sym="union")
+    rows, cols = W.nonzero()
+    keep = rows < cols
+    rows, cols = rows[keep], cols[keep]
+    print(f"[graph] {len(rows)} undirected edges", file=sys.stderr)
+
+    results = {}
+    ref = None
+    for engine in args.engines.split(","):
+        times = []
+        for r in range(args.runs + 1):  # run 0 = compile
+            t0 = time.perf_counter()
+            if engine == "nodal":
+                lengths = edge_lengths_riemannian_nodal(
+                    decode_fn, z, rows, cols, batch_size=args.batch)
+            else:
+                lengths = edge_lengths_riemannian(
+                    decode_fn, z[rows], z[cols], batch_size=args.batch)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                times.append(dt)
+            print(f"[{engine}] run{r}: {dt:.1f}s", file=sys.stderr)
+        if ref is None:
+            ref = lengths
+        else:
+            err = float(np.max(np.abs(lengths - ref)
+                               / np.maximum(np.abs(ref), 1e-6)))
+            print(f"[{engine}] max rel diff vs first engine: {err:.2e}",
+                  file=sys.stderr)
+            results[f"{engine}_max_rel_diff"] = err
+        results[engine] = round(min(times), 2)
+    print(json.dumps({"nodes": args.nodes, "edges": int(len(rows)),
+                      "batch": args.batch, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
