@@ -151,22 +151,41 @@ def run_baseline(z: np.ndarray, k: int, K: int, decode_fn) -> dict:
     t0 = time.perf_counter()
     n = z.shape[0]
     # >=50k points the reference switches to FAISS IndexFlatL2
-    # (knn_graph_optimized.py:70-90, multi-threaded brute force); FAISS is
-    # not installed here, so the closest stand-in is sklearn brute with all
-    # cores — a kd-tree would be single-threaded and OVERSTATE the baseline
-    # (measured: kd-tree at 983k ran >60 min vs minutes for brute).
+    # (knn_graph_optimized.py:70-90, brute force); FAISS is not installed
+    # here, so the stand-in is sklearn brute (n_jobs for what little this
+    # host offers — it exposes ONE core, so a full 983k brute pass takes
+    # hours). Brute per-query cost is constant (each query scans all N), so
+    # unless BENCH_BASELINE_FULL=1 the baseline kNN is extrapolated from a
+    # query sample — the same protocol as the per-center Dijkstra median.
     algo = "brute" if n >= 50_000 else "auto"
     nn = NearestNeighbors(n_neighbors=k + 1, algorithm=algo,
                           n_jobs=-1).fit(z)
-    dists, idxs = nn.kneighbors(z)
-    dists, idxs = dists[:, 1:], idxs[:, 1:]
-    data = np.ones(idxs.size, np.float32)
-    rows = np.repeat(np.arange(n), k)
-    W = sparse.csr_matrix((data, (rows, idxs.ravel())), shape=(n, n))
-    W = W.maximum(W.T)
-    W.setdiag(0.0)
-    W.eliminate_zeros()
-    t_knn = time.perf_counter() - t0
+    sample_q = min(n, int(os.environ.get("BENCH_BASELINE_KNN_QUERIES",
+                                         8192)))
+    knn_extrapolated = not full and sample_q < n
+    if knn_extrapolated:
+        t_fit = time.perf_counter() - t0
+        nn.kneighbors(z[:256])  # warm-up excluded
+        tq = time.perf_counter()
+        nn.kneighbors(z[:sample_q])
+        t_knn = t_fit + (time.perf_counter() - tq) * n / sample_q
+        # graph for the Dijkstra sampling below: built OUTSIDE baseline
+        # timing (the extrapolation above already accounts for the full
+        # baseline kNN cost; ties make the graphs equivalent)
+        from vqvae_tpu.ops import build_knn_graph
+
+        W, _ = build_knn_graph(z, k=k, metric="euclidean",
+                               mode="connectivity", sym="union")
+    else:
+        dists, idxs = nn.kneighbors(z)
+        dists, idxs = dists[:, 1:], idxs[:, 1:]
+        data = np.ones(idxs.size, np.float32)
+        rows = np.repeat(np.arange(n), k)
+        W = sparse.csr_matrix((data, (rows, idxs.ravel())), shape=(n, n))
+        W = W.maximum(W.T)
+        W.setdiag(0.0)
+        W.eliminate_zeros()
+        t_knn = time.perf_counter() - t0
 
     r, c = W.nonzero()
     keep = r < c
@@ -236,10 +255,14 @@ def run_baseline(z: np.ndarray, k: int, K: int, decode_fn) -> dict:
     # source internally), extrapolated from the median per-center cost
     t_kmed = med * ((K - 1) + 2 * K)
     total = t_knn + t_riem + t_kmed
-    log(f"[baseline/extrapolated] knn={t_knn:.1f}s riem={t_riem:.1f}s "
+    log(f"[baseline/extrapolated] knn={t_knn:.1f}s"
+        f"{' (query-sampled)' if knn_extrapolated else ''} "
+        f"riem={t_riem:.1f}s "
         f"per-center median={med:.2f}s (n={len(per_center) - warm}) -> "
         f"kmedoids={t_kmed:.0f}s total={total:.0f}s")
     return {"seconds": total, "protocol": "extrapolated-median",
+            "knn_protocol": ("query-sampled" if knn_extrapolated
+                             else "full"),
             "per_center_median_s": round(med, 3),
             "per_center_samples": len(per_center) - warm,
             "stage_seconds": {"knn": round(t_knn, 2),
