@@ -57,34 +57,39 @@ def _batched_lengths(decode_fn, z_start_chunks, z_end_chunks):
 def _pullback_metrics(decode_fn, z_chunks):
     """Per-node pullback metric G(z) = J(z)^T J(z), J the decoder Jacobian.
 
-    One ``jax.linearize`` per chunk shares the primal decode across all D
-    tangent propagations (D = latent dim), so a node costs D linear passes
-    — vs 2 full JVPs per incident *edge* in the edgewise path.
+    The D basis tangents of a node chunk are flattened into ONE large-batch
+    JVP (node repeated D times, tangents = tiled identity): a node costs D
+    primal+tangent passes at full per-sample conv throughput. Measured on
+    v5e this beats a ``jax.linearize`` + vmap-over-tangents formulation by
+    >5x — XLA executes the replayed linear jaxpr far below plain-JVP conv
+    throughput — and halves decoder passes vs 2-JVPs-per-edge whenever
+    2N*D < 4E.
     """
-    d = z_chunks.shape[-1]
-    basis = jnp.eye(d, dtype=z_chunks.dtype)
+    b, d = z_chunks.shape[1], z_chunks.shape[2]
+    basis = jnp.tile(jnp.eye(d, dtype=z_chunks.dtype), (b, 1))  # (B*D, D)
 
     def one_chunk(zb):  # (B, D) -> (B, D, D)
-        _, f_lin = jax.linearize(decode_fn, zb)
-
-        def col(e):  # tangent e broadcast over the batch -> (B, P)
-            return f_lin(jnp.broadcast_to(e, zb.shape))
-
-        Jt = jax.vmap(col)(basis)  # (D, B, P)
-        Jt = Jt.astype(jnp.float32)
-        return jnp.einsum("ibp,jbp->bij", Jt, Jt)
+        z_rep = jnp.repeat(zb, d, axis=0)                       # (B*D, D)
+        _, jt = jax.jvp(decode_fn, (z_rep,), (basis,))          # (B*D, P)
+        Jt = jt.astype(jnp.float32).reshape(b, d, -1)
+        return jnp.einsum("bip,bjp->bij", Jt, Jt)
 
     return jax.lax.map(one_chunk, z_chunks)
 
 
 def pullback_metrics(decode_fn: Callable, z: np.ndarray,
                      batch_size: int = 1024) -> np.ndarray:
-    """(N, D, D) pullback metrics for all nodes, chunked under one jit."""
+    """(N, D, D) pullback metrics for all nodes, chunked under one jit.
+
+    ``batch_size`` bounds the *decoder* batch: each chunk holds
+    ``batch_size // D`` nodes so the flattened JVP batch stays at
+    ``batch_size`` samples regardless of latent dim.
+    """
     z = np.asarray(z, np.float32)
     n, d = z.shape
     if n == 0:
         return np.empty((0, d, d), np.float32)
-    bs = min(batch_size, n)
+    bs = max(1, min(batch_size // max(d, 1), n))
     n_pad = ((n + bs - 1) // bs) * bs
     if n_pad > n:
         z = np.concatenate([z, np.zeros((n_pad - n, d), np.float32)])
@@ -116,9 +121,9 @@ def edge_lengths_riemannian_nodal(
     node — the same quantity ``edge_lengths_riemannian`` evaluates with two
     JVPs per edge (float-associativity differences only). Wins whenever the
     latent dim D is below the average node degree x2 (spatial codebooks:
-    D=16, degree ~16-20): the kNN-graph node visits drop from 2E to N x D
-    tangent passes, and the per-node sweep is a clean batched decode instead
-    of edge-ordered gathers. Reference semantics: riemannian_metric.py:12-35
+    D=16, degree ~16-20): decoder JVP passes drop from 4E (edgewise) to
+    2 x N x D, and the per-node sweep is a clean batched decode instead of
+    edge-ordered gathers. Reference semantics: riemannian_metric.py:12-35
     (same half-sum-of-endpoint-norms edge length).
     """
     z = np.asarray(z, np.float32)
@@ -152,14 +157,14 @@ def edge_lengths_riemannian_auto(
 ) -> np.ndarray:
     """Pick the cheaper Riemannian edge-length engine by estimated work.
 
-    Nodal cost ~ N x (D+1) decoder passes (one shared primal + D tangents
-    per node via ``jax.linearize``); edgewise cost ~ 4 x E (two JVPs per
-    edge, each a primal + tangent pass). Spatial codebooks (D=16, degree
-    ~16-20) take the nodal path; high-D flat latents (D=128) stay edgewise.
+    Nodal cost ~ 2 x N x D decoder passes (one JVP per basis tangent per
+    node, batched); edgewise cost ~ 4 x E (two JVPs per edge). Spatial
+    codebooks (D=16, degree ~16-20) take the nodal path; high-D flat
+    latents (D=128) stay edgewise.
     """
     n, d = np.asarray(z).shape
     e = len(rows)
-    if n * (d + 1) < 4 * e:
+    if n * d < 2 * e:
         return edge_lengths_riemannian_nodal(decode_fn, z, rows, cols,
                                              batch_size=batch_size)
     z = np.asarray(z, np.float32)
