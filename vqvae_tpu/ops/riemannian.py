@@ -155,16 +155,21 @@ def edge_lengths_riemannian_auto(
     cols: np.ndarray,
     batch_size: int = 1024,
 ) -> np.ndarray:
-    """Pick the cheaper Riemannian edge-length engine by estimated work.
+    """Riemannian edge-length engine dispatch — MEASURED verdict: edgewise.
 
-    Nodal cost ~ 2 x N x D decoder passes (one JVP per basis tangent per
-    node, batched); edgewise cost ~ 4 x E (two JVPs per edge). Spatial
-    codebooks (D=16, degree ~16-20) take the nodal path; high-D flat
-    latents (D=128) stay edgewise.
+    The nodal engine halves decoder JVP passes (2ND vs 4E) but must gather
+    a D x D metric block per edge endpoint; TPU random-row gathers run at
+    ~70 GB/s, and at the north-star shape (983k nodes, 15.5M directed
+    edges, D=16) that gather traffic alone exceeds the edgewise engine's
+    ENTIRE runtime: measured same-session on v5e, edgewise 33.5 s vs nodal
+    162.8 s (tools/bench_riemannian.py; docs/benchmarks.md). Edgewise is
+    therefore the default for every current model family; set
+    ``VQVAE_TPU_RIEMANNIAN=nodal`` to force the nodal engine (it can win
+    for decoders whose per-sample cost dwarfs a D^2 x 8B gather).
     """
-    n, d = np.asarray(z).shape
-    e = len(rows)
-    if n * d < 2 * e:
+    import os
+
+    if os.environ.get("VQVAE_TPU_RIEMANNIAN") == "nodal":
         return edge_lengths_riemannian_nodal(decode_fn, z, rows, cols,
                                              batch_size=batch_size)
     z = np.asarray(z, np.float32)
