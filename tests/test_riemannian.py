@@ -138,3 +138,23 @@ def test_nodal_spatial_decoder():
     edgewise = edge_lengths_riemannian(decode_fn, z[rows], z[cols],
                                        batch_size=8)
     np.testing.assert_allclose(nodal, edgewise, rtol=1e-3, atol=1e-5)
+
+
+def test_auto_dispatch_env_override(linear_decode_fn, monkeypatch):
+    """auto -> edgewise by default (measured verdict, docs/benchmarks.md);
+    VQVAE_TPU_RIEMANNIAN=nodal forces the nodal engine. Both exact."""
+    from vqvae_tpu.ops.riemannian import edge_lengths_riemannian_auto
+
+    decode, W = linear_decode_fn
+    rng = np.random.RandomState(10)
+    z = rng.randn(40, 4).astype(np.float32)
+    rows = rng.randint(0, 40, size=120)
+    cols = rng.randint(0, 40, size=120)
+    ref = _analytic_length(W, z[rows], z[cols])
+    default = edge_lengths_riemannian_auto(decode, z, rows, cols,
+                                           batch_size=32)
+    np.testing.assert_allclose(default, ref, rtol=1e-4, atol=1e-5)
+    monkeypatch.setenv("VQVAE_TPU_RIEMANNIAN", "nodal")
+    nodal = edge_lengths_riemannian_auto(decode, z, rows, cols,
+                                         batch_size=32)
+    np.testing.assert_allclose(nodal, ref, rtol=1e-4, atol=1e-5)
