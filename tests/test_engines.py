@@ -116,3 +116,22 @@ def test_vqvae_engine_trains(tmp_path):
                                    output_dir=tmp_path / "vq_out")
     assert (tmp_path / "vq" / "best").exists()
     assert np.isfinite(np.asarray(cb.embed)).all()
+
+
+def test_vae_engine_bf16_compute(tiny_loaders):
+    """bf16 compute dtype (config `model.dtype: bfloat16`, the AMP
+    replacement): params stay f32, a train epoch runs finite."""
+    import jax.numpy as jnp
+
+    train_loader, _ = tiny_loaders
+    model = VAE(in_channels=1, latent_dim=4, topology="spatial",
+                output_image_size=28, norm_type="batch", recon_loss="mse",
+                enc_channels=(8, 16, 32), dec_channels=(32, 16, 8),
+                dtype=jnp.bfloat16)
+    engine = VAEEngine(model, lr=1e-3, seed=0)
+    state = engine.init_state(train_loader.split.images[:1])
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    _, m = engine.run_epoch(state, train_loader, True, 1, 1.0,
+                            jax.random.key(0))
+    assert np.isfinite(m["loss"])

@@ -62,6 +62,10 @@ def train_transformer_main(cfg: Config) -> Path:
         seed=seed,
     )
 
+    if "dtype" in model_cfg:  # e.g. "bfloat16" — bf16 compute, f32 params
+        import jax.numpy as jnp
+
+        model_cfg["dtype"] = jnp.dtype(str(model_cfg["dtype"]))
     model = Transformer(**model_cfg)
     out_dir = Path(cfg["out"]["dir"])
     logger = MetricsLogger(out_dir, run_name=str(cfg.get("run_name", "transformer")))

@@ -35,6 +35,10 @@ def train_vae_main(cfg: Config, topology: Optional[str] = None) -> Path:
         synthetic_size=data_cfg.get("synthetic_size"),
     )
 
+    if "dtype" in model_cfg:  # e.g. "bfloat16" — bf16 compute, f32 params
+        import jax.numpy as jnp
+
+        model_cfg["dtype"] = jnp.dtype(str(model_cfg["dtype"]))
     model = VAE(topology=topology,
                 enc_channels=tuple(model_cfg.pop("enc_channels", (32, 64, 128))),
                 dec_channels=tuple(model_cfg.pop("dec_channels", (128, 64, 32))),
