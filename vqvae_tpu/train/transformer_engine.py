@@ -219,14 +219,17 @@ class TransformerEngine:
                     {"params": state.params, "opt_state": state.opt_state,
                      "step": int(state.step), "epoch": epoch})
             # every epoch, matching the reference's crash-resume granularity
-            # (reference train_transformer.py:84-87)
+            # (reference train_transformer.py:84-87); async — the write
+            # overlaps the next epoch's compute
             if ckptr:
-                ckptr.save("latest", {"params": state.params,
-                                      "opt_state": state.opt_state,
-                                      "step": int(state.step),
-                                      "epoch": epoch})
+                ckptr.save_async("latest", {"params": state.params,
+                                            "opt_state": state.opt_state,
+                                            "step": int(state.step),
+                                            "epoch": epoch})
         if ckptr and best_snapshot is not None:
             ckptr.save("best", best_snapshot)
+        if ckptr:
+            ckptr.flush()
         return state
 
 

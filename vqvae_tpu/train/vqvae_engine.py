@@ -190,10 +190,12 @@ class VQVAEEngine:
             full = {"params": state.params, "opt_state": state.opt_state,
                     "codebook": cb._asdict(), "epoch": ep}
             if ckptr:
-                ckptr.save("latest", full)
+                ckptr.save_async("latest", full)  # overlaps next epoch
                 if te["loss"] < best_loss:
                     best_loss = te["loss"]
                     ckptr.save("best", full)
+        if ckptr:
+            ckptr.flush()
         return state, cb, bank
 
     def _save_recons(self, state, cb, loader, outdir: Path, epoch: int):

@@ -30,21 +30,43 @@ class Checkpointer:
         self.dir = Path(ckpt_dir).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self._pending: Dict[str, Path] = {}  # name -> scheduled tmp dir
 
     def save(self, name: str, state: Any) -> Path:
-        path = self.dir / name
+        """Synchronous save: schedule + flush."""
+        self.save_async(name, state)
+        self.flush()
+        return self.dir / name
+
+    def save_async(self, name: str, state: Any) -> None:
+        """Schedule a save and return; the serialization/write overlaps the
+        caller's next work. Per-epoch ``latest`` checkpoints use this — the
+        synchronous write was costing ~10 s/epoch of training wall-clock
+        (measured: the vanilla fullscale transformer stage spent ~300 s of
+        475 s in checkpoint writes). ``flush()`` (or the next ``save``/
+        ``restore``/``close``) completes the atomic rename."""
+        self.flush()  # one in-flight save at a time keeps renames ordered
         tmp = self.dir / f".{name}.tmp"
         if tmp.exists():
             shutil.rmtree(tmp)
         state = jax.device_get(state)
         self._ckptr.save(tmp, state)
+        self._pending[name] = tmp
+
+    def flush(self) -> None:
+        """Wait for scheduled saves and atomically publish them."""
+        if not self._pending:
+            return
         self._ckptr.wait_until_finished()
-        if path.exists():
-            shutil.rmtree(path)
-        tmp.rename(path)
-        return path
+        for name, tmp in self._pending.items():
+            path = self.dir / name
+            if path.exists():
+                shutil.rmtree(path)
+            tmp.rename(path)
+        self._pending.clear()
 
     def restore(self, name: str, target: Optional[Any] = None) -> Any:
+        self.flush()
         path = self.dir / name
         if not path.exists():
             raise FileNotFoundError(path)
@@ -54,9 +76,11 @@ class Checkpointer:
         return self._ckptr.restore(path)
 
     def exists(self, name: str) -> bool:
+        self.flush()
         return (self.dir / name).exists()
 
     def close(self):
+        self.flush()
         self._ckptr.close()
 
 
