@@ -92,12 +92,18 @@ def train_transformer_main(cfg: Config) -> Path:
 
         ckptr = Checkpointer(out_dir / "checkpoints")
         if ckptr.exists("latest"):
-            restored = ckptr.restore("latest", target={
-                "params": state.params, "opt_state": state.opt_state,
-                "step": 0, "epoch": 0})
-            state = state.replace(params=restored["params"],
-                                  opt_state=restored["opt_state"],
-                                  step=restored["step"])
+            try:  # completed stage: full state incl. optimizer
+                restored = ckptr.restore("latest", target={
+                    "params": state.params, "opt_state": state.opt_state,
+                    "step": 0, "epoch": 0})
+                state = state.replace(params=restored["params"],
+                                      opt_state=restored["opt_state"],
+                                      step=restored["step"])
+            except Exception:  # mid-stage crash: per-epoch weights-only
+                restored = ckptr.restore("latest", target={
+                    "params": state.params, "step": 0, "epoch": 0})
+                state = state.replace(params=restored["params"],
+                                      step=restored["step"])
             print(f"[transformer] resumed from epoch {restored['epoch']}")
     engine.train(state, train_loader, val_loader,
                  num_epochs=int(train_cfg["epochs"]),
