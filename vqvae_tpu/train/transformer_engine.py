@@ -196,7 +196,10 @@ class TransformerEngine:
         train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
         x, y, lab, mask, n_steps, n_pad = self._device_dataset(train_loader)
 
+        import time as _time
+
         for epoch in range(1, num_epochs + 1):
+            t_ep = _time.perf_counter()
             ep_rng = jax.random.fold_in(rng, epoch)
             perm = jax.random.permutation(jax.random.fold_in(ep_rng, 0), n_pad)
             state, tr_loss = train_epoch_fn(state, x, y, lab, mask, perm,
@@ -207,7 +210,8 @@ class TransformerEngine:
                                     n_steps=n_steps)
             tr_loss, va_loss = float(tr_loss), float(va_loss)
             print(f"[transformer] epoch {epoch}/{num_epochs} "
-                  f"train={tr_loss:.4f} val={va_loss:.4f}")
+                  f"train={tr_loss:.4f} val={va_loss:.4f} "
+                  f"({_time.perf_counter() - t_ep:.1f}s)")
             if logger is not None:
                 logger.log_metrics({"train_loss": tr_loss, "val_loss": va_loss},
                                    step=epoch)
@@ -226,9 +230,13 @@ class TransformerEngine:
             # resumes exactly, a mid-crash resumes weights like the
             # reference. Full-state per epoch measured ~10 s/epoch (300 MB).
             if ckptr:
+                t_ck = _time.perf_counter()
                 ckptr.save_async("latest", {"params": state.params,
                                             "step": int(state.step),
                                             "epoch": epoch})
+                dt_ck = _time.perf_counter() - t_ck
+                if dt_ck > 1.0:
+                    print(f"[transformer]   ckpt wait+schedule {dt_ck:.1f}s")
         if ckptr and best_snapshot is not None:
             ckptr.save("best", best_snapshot)
         if ckptr:

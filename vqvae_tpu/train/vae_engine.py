@@ -345,7 +345,10 @@ class VAEEngine:
             va_data, va_mask, va_steps, va_pad = self._device_dataset(val_loader, bs)
             va_n = float(val_loader.num_examples)
 
+        import time as _time
+
         for epoch in range(1, num_epochs + 1):
+            t_ep = _time.perf_counter()
             cur_beta = beta * min(1.0, epoch / kl_anneal_epochs) if kl_anneal_epochs > 0 else beta
             ep_rng = jax.random.fold_in(rng, epoch)
             if fast:
@@ -381,7 +384,8 @@ class VAEEngine:
                 }, step=epoch)
             print(f"[vae] epoch {epoch}/{num_epochs} beta={cur_beta:.4f} "
                   f"train={tr['loss']:.4f} val={va['loss']:.4f} "
-                  f"psnr={va.get('psnr', 0.0):.2f} ssim={va.get('ssim', 0.0):.4f}")
+                  f"psnr={va.get('psnr', 0.0):.2f} ssim={va.get('ssim', 0.0):.4f} "
+                  f"({_time.perf_counter() - t_ep:.1f}s)")
 
             if va["loss"] < best_val:
                 best_val = va["loss"]
