@@ -298,8 +298,11 @@ def main() -> None:
     model = VAE(in_channels=1, latent_dim=16, topology="spatial",
                 output_image_size=28, norm_type="batch", recon_loss="mse",
                 enc_channels=(64, 128, 256), dec_channels=(256, 128, 64))
-    variables = jax.jit(lambda r, x: model.init({"params": r}, x))(
-        jax.random.key(0), np.zeros((1, 28, 28, 1), np.float32))
+    from vqvae_tpu.parallel import run_on_cpu
+
+    variables = run_on_cpu(lambda r, x: model.init({"params": r}, x),
+                           jax.random.key(0),
+                           np.zeros((1, 28, 28, 1), np.float32))
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
     detail = {}

@@ -51,8 +51,11 @@ def main():
     model = VAE(in_channels=1, latent_dim=args.dim, topology="spatial",
                 output_image_size=28, norm_type="batch", recon_loss="mse",
                 enc_channels=(64, 128, 256), dec_channels=(256, 128, 64))
-    variables = jax.jit(lambda r, x: model.init({"params": r}, x))(
-        jax.random.key(0), np.zeros((1, 28, 28, 1), np.float32))
+    from vqvae_tpu.parallel import run_on_cpu
+
+    variables = run_on_cpu(lambda r, x: model.init({"params": r}, x),
+                           jax.random.key(0),
+                           np.zeros((1, 28, 28, 1), np.float32))
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
     W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",

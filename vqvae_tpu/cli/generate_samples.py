@@ -88,9 +88,12 @@ def generate_samples_main(cfg: Config) -> Path:
         zq = codebook_vectors[codes]  # (B, 16, latent_dim)
         zq = zq.reshape(n_total, 4, 4, latent_dim)  # NHWC grid
 
-    final = np.asarray(jax.jit(
-        lambda v, z: jax.nn.sigmoid(vae.apply(v, z, method=vae.decode))
-    )(vae_vars, zq))
+    # one-off artifact decode: run on local CPU, not a remote compile
+    from ..parallel import run_on_cpu
+
+    final = np.asarray(run_on_cpu(
+        lambda v, z: jax.nn.sigmoid(vae.apply(v, z, method=vae.decode)),
+        vae_vars, zq))
     out_dir = Path(cfg["output_dir"])
     out_path = out_dir / str(cfg.get("output_filename", "generated_samples.png"))
     save_image_grid(final, out_path, nrow=samples_per_class, padding=2)

@@ -1,5 +1,6 @@
 from .mesh import (
     get_mesh,
+    run_on_cpu,
     data_sharding,
     replicated_sharding,
     source_sharding,
@@ -9,6 +10,7 @@ from .mesh import (
 
 __all__ = [
     "get_mesh",
+    "run_on_cpu",
     "data_sharding",
     "replicated_sharding",
     "source_sharding",

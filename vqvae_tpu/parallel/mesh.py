@@ -72,3 +72,24 @@ def is_primary() -> bool:
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def run_on_cpu(fn, *args):
+    """Run a one-shot jitted computation on the LOCAL CPU backend.
+
+    On this platform TPU programs compile through a remote service
+    (minutes per program, uncacheable); a jitted ``model.init`` therefore
+    cost 100-300 s of each training stage. Parameter init is tiny compute
+    with no reason to touch the accelerator — compile it locally on CPU
+    and ``device_put`` the result wherever it's needed (the engines already
+    re-place state with ``replicated_sharding``). Falls back to the default
+    backend when no CPU devices exist (e.g. already running on CPU)."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.jit(fn)(*args)
+    if jax.default_backend() == "cpu":
+        return jax.jit(fn)(*args)
+    args = jax.device_get(args)  # uncommit: inputs may live on the TPU
+    with jax.default_device(cpu):
+        return jax.device_get(jax.jit(fn)(*args))

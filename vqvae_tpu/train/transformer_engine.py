@@ -57,9 +57,12 @@ class TransformerEngine:
         rng = jax.random.key(self.seed)
         x = jnp.zeros((batch_size, seq_len), jnp.int32)
         y = jnp.zeros((batch_size,), jnp.int32) if self.model.num_classes > 0 else None
-        # jitted init: one compiled program instead of one per eager flax op
-        variables = jax.jit(
-            lambda r, xb: self.model.init({"params": r}, xb, y=y))(rng, x)
+        # param init jitted on the LOCAL CPU backend (remote TPU compiles
+        # cost 100-300s for a millisecond host computation)
+        from ..parallel import run_on_cpu
+
+        variables = run_on_cpu(
+            lambda r, xb: self.model.init({"params": r}, xb, y=y), rng, x)
         state = TrainState.create(apply_fn=self.model.apply,
                                   params=variables["params"], tx=self.tx,
                                   batch_stats={})

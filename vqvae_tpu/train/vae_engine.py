@@ -67,12 +67,16 @@ class VAEEngine:
 
     # -- state ---------------------------------------------------------------
     def init_state(self, sample_images: np.ndarray) -> TrainState:
+        from ..parallel import run_on_cpu
+
         rng = jax.random.key(self.seed)
-        # jitted init: eager flax init executes one tiny XLA program per op
-        # (dozens of remote compiles on this platform); jit folds it into one
-        variables = jax.jit(
-            lambda r, x: self.model.init({"params": r}, x, r, True)
-        )(rng, jnp.asarray(sample_images[:1]))
+        # param init runs jitted on the LOCAL CPU backend: eager flax init
+        # was one tiny remote compile per op, and a jitted init on the TPU
+        # is one big remote compile (100-300s on this platform) for a
+        # computation that takes milliseconds on host
+        variables = run_on_cpu(
+            lambda r, x: self.model.init({"params": r}, x, r, True),
+            rng, jnp.asarray(sample_images[:1]))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         state = TrainState.create(apply_fn=self.model.apply, params=params,
@@ -454,11 +458,14 @@ class VAEEngine:
 
     def _save_recon_grid(self, state, val_loader: DataLoader, output_dir: Path,
                          logger=None) -> None:
+        from ..parallel import run_on_cpu
+
         images, _, _ = next(iter(val_loader.epoch(0)))
         variables = self._variables(state.params, state.batch_stats)
-        x_logits, _, _, _ = jax.jit(
-            lambda v, x: self.model.apply(v, x, jax.random.key(0), False)
-        )(variables, jnp.asarray(images))
+        # one-off artifact decode: run on local CPU, not a remote compile
+        x_logits, _, _, _ = run_on_cpu(
+            lambda v, x: self.model.apply(v, x, jax.random.key(0), False),
+            variables, jnp.asarray(images))
         # display space is [0,1]: sigmoid outputs are already there, while
         # non-sigmoid reconstructions live in the dataset's normalized space
         # (reference engine.py:186-202 find_normalize inversion)

@@ -64,9 +64,12 @@ class VQVAEEngine:
         rng = jax.random.key(self.seed)
         k1, k2 = jax.random.split(rng)
         x = jnp.zeros((1, *image_shape), jnp.float32)
-        # jitted init: one compiled program instead of one per eager flax op
-        variables = jax.jit(
-            lambda r, xb: self.model.init({"params": r}, xb))(k1, x)
+        # param init jitted on the LOCAL CPU backend (remote TPU compiles
+        # cost 100-300s for a millisecond host computation)
+        from ..parallel import run_on_cpu
+
+        variables = run_on_cpu(
+            lambda r, xb: self.model.init({"params": r}, xb), k1, x)
         state = TrainState.create(apply_fn=self.model.apply,
                                   params=variables["params"], tx=self.tx,
                                   batch_stats={})
@@ -201,7 +204,8 @@ class VQVAEEngine:
     def _save_recons(self, state, cb, loader, outdir: Path, epoch: int):
         images, _, _ = next(iter(loader.epoch(0)))
         x01 = loader.split.denormalize(images[:32])
-        @jax.jit
+        from ..parallel import run_on_cpu
+
         def recon(params, cb, x01):
             x = x01 * 2.0 - 1.0
             z_e = self.model.apply({"params": params}, x,
@@ -211,6 +215,7 @@ class VQVAEEngine:
                                      method=self.model.decode)
             return (x_rec + 1.0) / 2.0  # [-1,1] -> [0,1]
 
-        img = np.asarray(recon(state.params, cb,
-                               jnp.asarray(x01, jnp.float32)))
+        # one-off artifact decode: run on local CPU, not a remote compile
+        img = np.asarray(run_on_cpu(recon, state.params, cb,
+                                    jnp.asarray(x01, jnp.float32)))
         save_image_grid(img, outdir / f"recon_epoch{epoch:04d}.png", nrow=8)
