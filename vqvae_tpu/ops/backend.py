@@ -14,14 +14,27 @@ Two first-party backends cover the reference's scipy Dijkstra role:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .shortest_paths import EdgeList, multi_source_shortest_paths
 
+
+def _host_threads() -> int:
+    try:
+        return max(1, len(os.sched_getaffinity(0)))
+    except AttributeError:  # non-Linux
+        return os.cpu_count() or 1
+
+
 # below this K*E work estimate the threaded host Dijkstra beats device
-# dispatch + bucketed-graph conversion + relaxation sweeps (measured on
-# v5e vs the 8-thread native Dijkstra: crossover ~1e9 at 49k-196k nodes)
-HOST_WORK_THRESHOLD = 1e9
+# dispatch + bucketed-graph conversion + relaxation sweeps. Calibrated on
+# v5e vs an 8-thread native Dijkstra (crossover ~1e9 at 49k-196k nodes)
+# and scaled by the cores THIS host actually exposes — on a 1-core box the
+# same Dijkstra is ~8x slower, and a miscalibrated threshold sent 196k
+# kpp rounds to a 58s host solve where the device does them in seconds.
+HOST_WORK_THRESHOLD = 1.25e8 * _host_threads()
 
 
 def multi_source_distances(
