@@ -204,18 +204,21 @@ class VQVAEEngine:
     def _save_recons(self, state, cb, loader, outdir: Path, epoch: int):
         images, _, _ = next(iter(loader.epoch(0)))
         x01 = loader.split.denormalize(images[:32])
-        from ..parallel import run_on_cpu
+        # per-EPOCH artifact (samples_every), so keep it on device behind a
+        # cached jit: one compile, then microseconds per epoch — unlike the
+        # truly one-shot init/final-artifact calls that run_on_cpu handles
+        if not hasattr(self, "_recon_fn"):
+            @jax.jit
+            def recon(params, cb, x01):
+                x = x01 * 2.0 - 1.0
+                z_e = self.model.apply({"params": params}, x,
+                                       method=self.model.encode)
+                z_q, _ = quantize(cb, z_e)
+                x_rec = self.model.apply({"params": params}, z_q,
+                                         method=self.model.decode)
+                return (x_rec + 1.0) / 2.0  # [-1,1] -> [0,1]
 
-        def recon(params, cb, x01):
-            x = x01 * 2.0 - 1.0
-            z_e = self.model.apply({"params": params}, x,
-                                   method=self.model.encode)
-            z_q, _ = quantize(cb, z_e)
-            x_rec = self.model.apply({"params": params}, z_q,
-                                     method=self.model.decode)
-            return (x_rec + 1.0) / 2.0  # [-1,1] -> [0,1]
-
-        # one-off artifact decode: run on local CPU, not a remote compile
-        img = np.asarray(run_on_cpu(recon, state.params, cb,
-                                    jnp.asarray(x01, jnp.float32)))
+            self._recon_fn = recon
+        img = np.asarray(self._recon_fn(state.params, cb,
+                                        jnp.asarray(x01, jnp.float32)))
         save_image_grid(img, outdir / f"recon_epoch{epoch:04d}.png", nrow=8)
