@@ -124,9 +124,11 @@ class CodebookState(NamedTuple):
     @staticmethod
     def create(rng: jax.Array, n_codes: int, code_dim: int) -> "CodebookState":
         embed = jax.random.normal(rng, (n_codes, code_dim), jnp.float32)
+        # embed_avg must be a DISTINCT buffer: aliasing it to embed makes a
+        # donated CodebookState donate one buffer twice (XLA rejects it)
         return CodebookState(embed=embed,
                              cluster_size=jnp.zeros((n_codes,), jnp.float32),
-                             embed_avg=embed)
+                             embed_avg=embed.copy())
 
 
 def quantize(cb: CodebookState, z_e: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -132,6 +132,77 @@ class VQVAEEngine:
 
         return step
 
+    # -- device-resident epoch path (one dispatch per epoch) -----------------
+    _METRIC_KEYS = ("loss", "rec", "vq", "q_mse", "perplex", "usage", "dead")
+
+    def _device_dataset(self, loader, batch_size: int):
+        """Denormalize to [-1,1] ONCE, pad to a step multiple, park on
+        device (the per-batch loop re-did the host denorm + transfer every
+        epoch: 100-epoch runs paid it 100x)."""
+        x = loader.split.denormalize(loader.split.images).astype(np.float32)
+        x = x * 2.0 - 1.0
+        n = x.shape[0]
+        n_steps = max(1, (n + batch_size - 1) // batch_size)
+        n_pad = n_steps * batch_size
+        mask = np.zeros((n_pad,), np.float32)
+        mask[:n] = 1.0
+        if n_pad > n:
+            x = np.concatenate([x, np.zeros((n_pad - n, *x.shape[1:]),
+                                            np.float32)])
+        rep = replicated_sharding(self.mesh)
+        return (jax.device_put(jnp.asarray(x), rep),
+                jax.device_put(jnp.asarray(mask), rep), n_steps, n_pad)
+
+    def _build_epoch_fns(self, batch_size: int):
+        import functools
+
+        from ..parallel import data_sharding
+
+        batch_sharding = data_sharding(self.mesh, 4)
+        mask_sharding = data_sharding(self.mesh, 1)
+        keys = self._METRIC_KEYS
+        train_step, eval_step = self._train_step, self._eval_step
+
+        def make_body(step_fn, data, mask_all, rng):
+            def body(carry, i_ib):
+                state, cb, bank = carry
+                i, ib = i_ib
+                x = jax.lax.with_sharding_constraint(
+                    jnp.take(data, ib, axis=0), batch_sharding)
+                mask = jax.lax.with_sharding_constraint(
+                    jnp.take(mask_all, ib, axis=0), mask_sharding)
+                state, cb, bank, m = step_fn(state, cb, bank, x, mask,
+                                             jax.random.fold_in(rng, i))
+                bs = mask.sum()
+                vec = jnp.stack([m[k] for k in keys]) * bs
+                return (state, cb, bank), jnp.concatenate([vec, bs[None]])
+            return body
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",),
+                           donate_argnums=(0, 1, 2))
+        def train_epoch(state, cb, bank, data, mask_all, perm, rng, n_steps):
+            idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+            (state, cb, bank), ms = jax.lax.scan(
+                make_body(train_step, data, mask_all, rng),
+                (state, cb, bank), (jnp.arange(n_steps), idx))
+            return state, cb, bank, ms.sum(axis=0)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def eval_epoch(state, cb, bank, data, mask_all, rng, n_steps):
+            idx = jnp.arange(n_steps * batch_size).reshape(n_steps, batch_size)
+            (_, _, _), ms = jax.lax.scan(
+                make_body(eval_step, data, mask_all, rng),
+                (state, cb, bank), (jnp.arange(n_steps), idx))
+            return ms.sum(axis=0)
+
+        return train_epoch, eval_epoch
+
+    def _metrics_from_sums(self, sums) -> dict:
+        sums = np.asarray(sums)
+        n = max(float(sums[-1]), 1.0)
+        return {k: float(v) / n
+                for k, v in zip(self._METRIC_KEYS, sums[:-1])}
+
     def run_epoch(self, state, cb, bank, loader, train: bool, epoch: int, rng):
         # device-side accumulation; single host sync per epoch
         acc = None
@@ -167,19 +238,48 @@ class VQVAEEngine:
         ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
         rng = jax.random.key(self.seed + 1)
         best_loss = float("inf")
+
+        # device-resident fast path: dataset parked on device, one scanned
+        # dispatch per epoch (the per-batch loop measured ~70s/epoch at the
+        # reference's CIFAR shape — dispatch + per-batch host denorm bound)
+        fast = not getattr(train_loader, "augment", False)
+        if fast:
+            bs = train_loader.batch_size
+            train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
+            tr_data, tr_mask, tr_steps, tr_pad = self._device_dataset(
+                train_loader, bs)
+            va_data, va_mask, va_steps, _ = self._device_dataset(
+                val_loader, bs)
+
+        import time as _time
+
         for ep in range(1, num_epochs + 1):
+            t_ep = _time.perf_counter()
             ep_rng = jax.random.fold_in(rng, ep)
-            state, cb, bank, tr = self.run_epoch(state, cb, bank, train_loader,
-                                                 True, ep, ep_rng)
-            state, cb, bank, te = self.run_epoch(state, cb, bank, val_loader,
-                                                 False, ep, ep_rng)
+            if fast:
+                perm = jax.random.permutation(
+                    jax.random.fold_in(ep_rng, 0), tr_pad)
+                state, cb, bank, tr_sums = train_epoch_fn(
+                    state, cb, bank, tr_data, tr_mask, perm, ep_rng,
+                    n_steps=tr_steps)
+                va_sums = eval_epoch_fn(state, cb, bank, va_data, va_mask,
+                                        jax.random.fold_in(ep_rng, 1),
+                                        n_steps=va_steps)
+                tr = self._metrics_from_sums(tr_sums)
+                te = self._metrics_from_sums(va_sums)
+            else:
+                state, cb, bank, tr = self.run_epoch(
+                    state, cb, bank, train_loader, True, ep, ep_rng)
+                state, cb, bank, te = self.run_epoch(
+                    state, cb, bank, val_loader, False, ep, ep_rng)
             cb, n_reseeded = reseed_dead_codes(
                 jax.random.fold_in(ep_rng, 999), cb, bank, reseed_min_count)
             n_reseeded = int(n_reseeded)
             norms = np.linalg.norm(np.asarray(cb.embed), axis=1)
             print(f"[vqvae] epoch {ep}/{num_epochs} train={tr['loss']:.4f} "
                   f"val={te['loss']:.4f} ppl={te['perplex']:.1f} "
-                  f"usage={te['usage']:.2f} reseeded={n_reseeded}")
+                  f"usage={te['usage']:.2f} reseeded={n_reseeded} "
+                  f"({_time.perf_counter() - t_ep:.1f}s)")
             if logger is not None:
                 row = {f"train_{k}": v for k, v in tr.items()}
                 row.update({f"val_{k}": v for k, v in te.items()})
