@@ -108,3 +108,20 @@ def test_ell_source_sharded_matches():
     np.testing.assert_allclose(plain, sharded, rtol=1e-6)
     ref = dijkstra(W, directed=False, indices=sources).T
     np.testing.assert_allclose(plain, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_run_on_cpu_matches_and_returns_host_values():
+    """run_on_cpu computes identically to plain jit (on the CPU test mesh
+    it takes the default-backend early return; on TPU it compiles locally
+    instead of paying a minutes-long remote compile)."""
+    from vqvae_tpu.parallel import run_on_cpu
+
+    def fn(a, b):
+        return {"s": a + b, "p": (a * b).sum()}
+
+    a = jnp.arange(12.0).reshape(3, 4)
+    b = jnp.ones((3, 4)) * 2.0
+    out = run_on_cpu(fn, a, b)
+    ref = jax.jit(fn)(a, b)
+    np.testing.assert_allclose(np.asarray(out["s"]), np.asarray(ref["s"]))
+    np.testing.assert_allclose(np.asarray(out["p"]), np.asarray(ref["p"]))

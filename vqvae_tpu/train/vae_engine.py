@@ -394,11 +394,17 @@ class VAEEngine:
             if va["loss"] < best_val:
                 best_val = va["loss"]
                 no_improve = 0
-                # host copy: the fast path donates state buffers each epoch;
-                # the best checkpoint is written ONCE after training (early
-                # epochs improve every time and orbax writes cost seconds)
+                # host copy: the fast path donates state buffers each epoch
                 best_state = jax.device_get(state)
                 best_epoch = epoch
+                # crash-safe best-on-improvement, like the reference's
+                # best.pt (engine.py:143: weights only); async so the write
+                # overlaps the next epoch. Full state follows after the loop.
+                if ckptr:
+                    ckptr.save_async("best", {
+                        "params": best_state.params,
+                        "batch_stats": best_state.batch_stats,
+                        "step": int(best_state.step), "epoch": epoch})
             else:
                 no_improve += 1
                 if early_stop and no_improve >= early_stop:
