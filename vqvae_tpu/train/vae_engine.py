@@ -336,8 +336,17 @@ class VAEEngine:
         best_val = float("inf")
         no_improve = 0
         num_pixels = int(np.prod(train_loader.split.image_shape))
-        best_state = jax.device_get(state)
+        # device-side snapshot: the fast path donates state buffers each
+        # epoch, so best must be copied — but ON DEVICE (~free) instead of
+        # a per-improvement device_get, which pulls the params through the
+        # tunnel every epoch early in training (improvements are constant).
+        # One jitted copy program (eager per-leaf jnp.copy would compile
+        # one tiny remote program per leaf).
+        snapshot = jax.jit(
+            lambda s: jax.tree_util.tree_map(jnp.copy, s))
+        best_dev = snapshot(state)
         best_epoch = 0
+        save_stride, write_est = 1, 0.0
 
         # device-resident fast path (one dispatch per epoch) unless host-side
         # augmentation forces per-batch host work
@@ -391,26 +400,34 @@ class VAEEngine:
                   f"psnr={va.get('psnr', 0.0):.2f} ssim={va.get('ssim', 0.0):.4f} "
                   f"({_time.perf_counter() - t_ep:.1f}s)")
 
+            dt_epoch = _time.perf_counter() - t_ep
             if va["loss"] < best_val:
                 best_val = va["loss"]
                 no_improve = 0
-                # host copy: the fast path donates state buffers each epoch
-                best_state = jax.device_get(state)
+                best_dev = snapshot(state)
                 best_epoch = epoch
-                # crash-safe best-on-improvement, like the reference's
-                # best.pt (engine.py:143: weights only); async so the write
-                # overlaps the next epoch. Full state follows after the loop.
-                if ckptr:
+                # crash-safe best, like the reference's best.pt (engine.py:
+                # 143, weights only) — written at the cadence one async
+                # write (tunnel pull + serialize) actually sustains; the
+                # full state follows after the loop
+                if ckptr and (epoch % save_stride == 0
+                              or epoch == num_epochs):
+                    t_ck = _time.perf_counter()
                     ckptr.save_async("best", {
-                        "params": best_state.params,
-                        "batch_stats": best_state.batch_stats,
-                        "step": int(best_state.step), "epoch": epoch})
+                        "params": best_dev.params,
+                        "batch_stats": best_dev.batch_stats,
+                        "step": int(best_dev.step), "epoch": epoch})
+                    write_est = max(_time.perf_counter() - t_ck,
+                                    0.7 * write_est)
+                    save_stride = max(1, min(
+                        25, int(write_est / max(dt_epoch, 1e-3))))
             else:
                 no_improve += 1
                 if early_stop and no_improve >= early_stop:
                     print(f"[vae] early stopping at epoch {epoch}")
                     break
 
+        best_state = jax.device_get(best_dev)  # one tunnel pull at the end
         if ckptr:
             ckptr.save("best", {"params": best_state.params,
                                 "batch_stats": best_state.batch_stats,

@@ -253,6 +253,7 @@ class VQVAEEngine:
 
         import time as _time
 
+        save_stride, write_est = 1, 0.0
         for ep in range(1, num_epochs + 1):
             t_ep = _time.perf_counter()
             ep_rng = jax.random.fold_in(rng, ep)
@@ -292,11 +293,18 @@ class VQVAEEngine:
                 self._save_recons(state, cb, val_loader, Path(output_dir), ep)
             full = {"params": state.params, "opt_state": state.opt_state,
                     "codebook": cb._asdict(), "epoch": ep}
-            if ckptr:
-                ckptr.save_async("latest", full)  # overlaps next epoch
-                if te["loss"] < best_loss:
-                    best_loss = te["loss"]
-                    ckptr.save("best", full)
+            # adaptive latest cadence (see transformer engine): checkpoint
+            # at the rate one async write actually sustains, not per epoch
+            dt_epoch = _time.perf_counter() - t_ep
+            if ckptr and (ep % save_stride == 0 or ep == num_epochs):
+                t_ck = _time.perf_counter()
+                ckptr.save_async("latest", full)
+                write_est = max(_time.perf_counter() - t_ck, 0.7 * write_est)
+                save_stride = max(1, min(
+                    25, int(write_est / max(dt_epoch, 1e-3))))
+            if ckptr and te["loss"] < best_loss:
+                best_loss = te["loss"]
+                ckptr.save("best", full)
         if ckptr:
             ckptr.flush()
         return state, cb, bank
