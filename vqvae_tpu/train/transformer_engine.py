@@ -193,7 +193,14 @@ class TransformerEngine:
         ckptr = Checkpointer(checkpoint_dir) if checkpoint_dir else None
         rng = jax.random.key(self.seed + 1)
         best_val = float("inf")
-        best_snapshot = None
+        best_dev = None
+        best_epoch = 0
+        # device-side best snapshot: one jitted copy (~free) per
+        # improvement instead of a device_get that pulls params+opt_state
+        # through the tunnel (~4s x nearly-every-epoch improvements — this
+        # alone was most of a 200-epoch stage's wall-clock)
+        snapshot = jax.jit(lambda p, o: jax.tree_util.tree_map(
+            jnp.copy, (p, o)))
 
         bs = train_loader.batch_size
         train_epoch_fn, eval_epoch_fn = self._build_epoch_fns(bs)
@@ -221,11 +228,9 @@ class TransformerEngine:
                                    step=epoch)
             if va_loss < best_val:
                 best_val = va_loss
-                # hold best on host; full-train-state writes cost seconds
-                # each and early training improves every epoch
-                best_snapshot = jax.device_get(
-                    {"params": state.params, "opt_state": state.opt_state,
-                     "step": int(state.step), "epoch": epoch})
+                best_dev = snapshot(state.params, state.opt_state)
+                best_epoch = epoch
+                best_step = int(state.step)  # scalar sync, 4 bytes
             # every epoch, matching the reference's crash-resume granularity
             # AND contents — weights only, no optimizer (reference
             # train_transformer.py:86-87 saves model.state_dict()); async so
@@ -248,8 +253,10 @@ class TransformerEngine:
                 write_est = max(dt_ck, 0.7 * write_est)
                 save_stride = max(1, min(
                     25, int(write_est / max(dt_epoch, 1e-3))))
-        if ckptr and best_snapshot is not None:
-            ckptr.save("best", best_snapshot)
+        if ckptr and best_dev is not None:
+            best_p, best_o = jax.device_get(best_dev)  # one pull at the end
+            ckptr.save("best", {"params": best_p, "opt_state": best_o,
+                                "step": best_step, "epoch": best_epoch})
         if ckptr:
             ckptr.save("latest", {"params": state.params,
                                   "opt_state": state.opt_state,
