@@ -151,6 +151,14 @@ def bfs_node_order(W: sparse.csr_matrix) -> np.ndarray:
     Gauss-Seidel sweeps (ops.shortest_paths) converge in a handful of
     passes instead of O(diameter). Covers all components (BFS restarts at
     the lowest unvisited node).
+
+    Traversal follows stored edges only (``directed=True``): the builders
+    always hand in symmetrized graphs, where this is identical to the
+    undirected traversal but skips scipy's transpose pass (measured
+    11.1s -> 0.8s at 960k nodes / 30M edges on this host). For an
+    asymmetric input the restart loop still yields a complete, valid
+    permutation — only sweep convergence, never correctness, depends on
+    the order.
     """
     from scipy.sparse.csgraph import breadth_first_order
 
@@ -162,7 +170,7 @@ def bfs_node_order(W: sparse.csr_matrix) -> np.ndarray:
     for start in range(n):
         if visited[start]:
             continue
-        nodes = breadth_first_order(W, start, directed=False,
+        nodes = breadth_first_order(W, start, directed=True,
                                     return_predecessors=False)
         nodes = nodes[~visited[nodes]]
         visited[nodes] = True
