@@ -56,7 +56,7 @@ class BucketedGraph(NamedTuple):
 
     Rows across all buckets are concatenated into one padded "row space";
     ``inv_perm`` maps node id -> row, ``perm_nodes`` maps row -> node id
-    (dummy pad rows map to node 0; their weights are +inf so they never
+    (dummy pad rows gather row 0; their weights are +inf so they never
     influence a distance). ``nbrs`` stores *row* ids so relaxation gathers
     stay in row space end to end.
     """
@@ -130,35 +130,20 @@ class BucketedGraph(NamedTuple):
         caps_arr = np.asarray(caps)
         bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
 
-        # rows per bucket are padded to a chunk multiple so the sweep can
-        # scan fixed-size row chunks (bounding peak memory at (chunk, K)
-        # instead of (N_b, deg, K), which OOMs HBM at ~1M nodes)
-        nbrs, wts, node_order, row_offsets = [], [], [], []
+        # pass 1 (cheap, O(N)): bucket membership, row offsets, inv_perm —
+        # so pass 2 can gather ROW ids directly (one fused gather per
+        # bucket, instead of gathering node ids and re-gathering through
+        # inv_perm over the padded arrays afterwards)
+        node_order, row_offsets, pads = [], [], []
         offset = 0
         for b, cap in enumerate(caps):
             nodes_b = np.nonzero(bucket_of == b)[0]
             node_order.append(nodes_b)
+            row_offsets.append(offset)
             chunk_b = _row_chunk(nodes_b.size)
             n_pad = max(chunk_b, ((nodes_b.size + chunk_b - 1) // chunk_b)
                         * chunk_b) if nodes_b.size else 0
-            if nodes_b.size == 0:
-                nbrs.append(np.zeros((0, cap), np.int32))
-                wts.append(np.zeros((0, cap), np.float32))
-                row_offsets.append(offset)
-                continue
-            offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
-            valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
-            offs = np.clip(offs, 0, max(e_total - 1, 0))
-            nb = np.where(valid, src[offs] if e_total else 0, 0).astype(np.int32)
-            wb = np.where(valid, w[offs] if e_total else _INF, _INF).astype(np.float32)
-            if n_pad > nodes_b.size:  # dummy rows: node 0 with +inf weights
-                pad_rows = n_pad - nodes_b.size
-                nb = np.concatenate([nb, np.zeros((pad_rows, cap), np.int32)])
-                wb = np.concatenate([wb, np.full((pad_rows, cap), _INF,
-                                                 np.float32)])
-            nbrs.append(nb)
-            wts.append(wb)
-            row_offsets.append(offset)
+            pads.append(n_pad)
             offset += n_pad
 
         inv_perm = np.empty(n_nodes, np.int32)
@@ -168,10 +153,35 @@ class BucketedGraph(NamedTuple):
                                      + np.arange(nodes_b.size)).astype(np.int32)
         perm_nodes = np.zeros(max(offset, 1), np.int32)
         perm_nodes[inv_perm] = np.arange(n_nodes, dtype=np.int32)
+        src_rows = inv_perm[src] if e_total else src  # one O(E) map
+
+        # pass 2: padded (rows, cap) neighbor/weight matrices per bucket
+        nbrs, wts = [], []
+        for b, cap in enumerate(caps):
+            nodes_b = node_order[b]
+            if nodes_b.size == 0:
+                nbrs.append(jnp.zeros((0, cap), jnp.int32))
+                wts.append(jnp.zeros((0, cap), jnp.float32))
+                continue
+            offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
+            valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
+            offs = np.clip(offs, 0, max(e_total - 1, 0))
+            nb = np.where(valid, src_rows[offs] if e_total else 0,
+                          0).astype(np.int32)
+            wb = np.where(valid, w[offs] if e_total else _INF,
+                          _INF).astype(np.float32)
+            n_pad = pads[b]
+            if n_pad > nodes_b.size:  # dummy rows: row 0 with +inf weights
+                pad_rows = n_pad - nodes_b.size
+                nb = np.concatenate([nb, np.zeros((pad_rows, cap), np.int32)])
+                wb = np.concatenate([wb, np.full((pad_rows, cap), _INF,
+                                                 np.float32)])
+            nbrs.append(jnp.asarray(nb))
+            wts.append(jnp.asarray(wb))
 
         return BucketedGraph(
-            nbrs=tuple(jnp.asarray(inv_perm[a]) for a in nbrs),  # node->row
-            wts=tuple(jnp.asarray(a) for a in wts),
+            nbrs=tuple(nbrs),
+            wts=tuple(wts),
             inv_perm=jnp.asarray(inv_perm),
             perm_nodes=jnp.asarray(perm_nodes[:offset] if offset
                                    else perm_nodes),
