@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--cases", default="1024x8192,1024x16384,1024x32768,"
                                        "2048x8192,2048x16384,512x8192")
     ap.add_argument("--approx", default="0,1")
+    ap.add_argument("--recalls", default=None,
+                    help="sweep approx recall_target values, e.g. "
+                         "0.9,0.95,0.99 (reports recall vs the exact run)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -68,6 +71,25 @@ def main():
                             "self_ok": self_ok}
             print(f"[{key}] {min(times):.2f}s (all runs: "
                   f"{[round(t, 2) for t in times]}, self_ok={self_ok})",
+                  file=sys.stderr)
+    if args.recalls:
+        d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
+        ref_sets = [set(r) for r in i_ref]
+        for rt in (float(x) for x in args.recalls.split(",")):
+            times = []
+            for r in range(args.runs + 1):
+                t0 = time.perf_counter()
+                d, i = knn_search(z, k=args.k + 1, approx=True,
+                                  recall_target=rt)
+                if r > 0:
+                    times.append(time.perf_counter() - t0)
+            rec = float(np.mean([len(ref_sets[q].intersection(i[q]))
+                                 / i.shape[1]
+                                 for q in range(0, len(i), 97)]))
+            key = f"recall{rt}"
+            results[key] = {"seconds": round(min(times), 2),
+                            "recall_vs_exact": round(rec, 5)}
+            print(f"[{key}] {min(times):.2f}s recall={rec:.5f}",
                   file=sys.stderr)
     print(json.dumps({"nodes": args.nodes, "k": args.k, "results": results}))
 

@@ -29,7 +29,8 @@ _INF = jnp.float32(jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile",
-                                             "db_tile", "approx", "margin"))
+                                             "db_tile", "approx", "margin",
+                                             "recall"))
 def _knn_block(
     zq: jax.Array,        # (Qp, D) padded query block, f32 (pre-normalized
                           #  for cosine)
@@ -42,6 +43,7 @@ def _knn_block(
     db_tile: int,
     approx: bool,
     margin: int,
+    recall: float,
 ) -> Tuple[jax.Array, jax.Array]:
     Qp, D = zq.shape
     Np = z.shape[0]
@@ -86,7 +88,7 @@ def _knn_block(
                 # re-rank below keeps reported distances exact, and a
                 # recall test bounds the candidate-miss rate
                 cand_d, cand_j = jax.lax.approx_min_k(
-                    d, k_sel, recall_target=0.95)
+                    d, k_sel, recall_target=recall)
             else:
                 neg_d, cand_j = jax.lax.top_k(-d, k_sel)  # per-tile top-k
                 cand_d = -neg_d
@@ -128,6 +130,7 @@ def knn_search(
     query_block: int = 131_072,
     approx: bool = False,
     margin: int | None = None,
+    recall_target: float | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
@@ -145,11 +148,15 @@ def knn_search(
     margin to cover known near-duplicate cluster sizes.
 
     ``approx=True`` additionally relaxes per-tile candidate selection to
-    ``lax.approx_min_k`` with recall_target=0.95 (per-tile candidate
-    recall; reported distances stay exact for returned indices).
+    ``lax.approx_min_k`` (per-tile candidate recall; reported distances
+    stay exact for returned indices). ``recall_target`` (default 0.95,
+    env ``VQVAE_TPU_KNN_RECALL``) trades selection speed for candidate
+    recall — measured sweep in docs/benchmarks.md.
     """
     if margin is None:
         margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN", 4))
+    if recall_target is None:
+        recall_target = float(os.environ.get("VQVAE_TPU_KNN_RECALL", 0.95))
     z = np.asarray(z, dtype=np.float32)
     if z.ndim != 2:
         raise ValueError("z must be (N, D)")
@@ -189,7 +196,7 @@ def knn_search(
         q[:e - s] = zn[s:e]
         d, i = _knn_block(jnp.asarray(q), z_db_j, jnp.int32(n),
                           jnp.int32(e - s), k, metric, query_tile, db_tile,
-                          approx, margin)
+                          approx, margin, float(recall_target))
         dists[s:e] = np.asarray(d[:e - s])
         idxs[s:e] = np.asarray(i[:e - s]).astype(np.int64)
     return dists, idxs
