@@ -72,26 +72,32 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
                                fit_kmedoids, largest_connected_component)
     from vqvae_tpu.ops.ell import ELL_STATS
 
+    from vqvae_tpu.parallel import get_mesh
+
+    mesh = get_mesh()
     n, d = z.shape
     stats_start = len(ELL_STATS)
     t0 = time.perf_counter()
     W, _ = build_knn_graph(z, k=k, metric="euclidean", mode="connectivity",
                            sym="union",
-                           approx=os.environ.get("BENCH_KNN_APPROX") == "1")
+                           approx=os.environ.get("BENCH_KNN_APPROX") == "1",
+                           mesh=mesh)
     t_knn = time.perf_counter() - t0
     rows, cols = W.nonzero()
     keep = rows < cols
     rows, cols = rows[keep], cols[keep]
     t1 = time.perf_counter()
     lengths = edge_lengths_riemannian_auto(decode_fn, z, rows, cols,
-                                           batch_size=4096)
+                                           batch_size=4096, mesh=mesh)
     t_riem = time.perf_counter() - t1
     W_geo = sparse.csr_matrix((lengths, (rows, cols)), shape=W.shape)
     W_geo = W_geo + W_geo.T
     mask = largest_connected_component(W_geo)
     W_lcc = W_geo[mask][:, mask] if mask.sum() < W.shape[0] else W_geo
     t2 = time.perf_counter()
-    medoids, assign, qe = fit_kmedoids(W_lcc, K=K, init="kpp_parallel", seed=42)
+    medoids, assign, qe = fit_kmedoids(W_lcc, K=K, init="kpp_parallel",
+                                       seed=42, mesh=mesh,
+                                       assume_symmetric=True)
     t_kmed = time.perf_counter() - t2
     total = time.perf_counter() - t0
 

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--cases", default="1024x8192,1024x16384,1024x32768,"
                                        "2048x8192,2048x16384,512x8192")
     ap.add_argument("--approx", default="0,1")
+    ap.add_argument("--agg", default="1",
+                    help="aggregate_to_topk values to sweep (0 = defer all "
+                         "aggregation to the final exact re-rank)")
     ap.add_argument("--recalls", default=None,
                     help="sweep approx recall_target values, e.g. "
                          "0.9,0.95,0.99 (reports recall vs the exact run)")
@@ -55,23 +58,27 @@ def main():
     for case in args.cases.split(","):
         qt, dt = (int(x) for x in case.split("x"))
         for ap_flag in (int(x) for x in args.approx.split(",")):
-            times = []
-            for r in range(args.runs + 1):  # run 0 = compile
-                t0 = time.perf_counter()
-                d, i = knn_search(z, k=args.k + 1, query_tile=qt, db_tile=dt,
-                                  approx=bool(ap_flag))
-                # d/i are host numpy — already fenced
-                dt_s = time.perf_counter() - t0
-                if r > 0:
-                    times.append(dt_s)
-            # cheap exactness probe: self-distance must be 0 at every row
-            self_ok = bool((d[:, 0] <= 1e-5).all())
-            key = f"{case}-approx{ap_flag}"
-            results[key] = {"seconds": round(min(times), 2),
-                            "self_ok": self_ok}
-            print(f"[{key}] {min(times):.2f}s (all runs: "
-                  f"{[round(t, 2) for t in times]}, self_ok={self_ok})",
-                  file=sys.stderr)
+            for agg in (int(x) for x in args.agg.split(",")):
+                if not agg and not ap_flag:
+                    continue  # agg=0 only applies to approx selection
+                times = []
+                for r in range(args.runs + 1):  # run 0 = compile
+                    t0 = time.perf_counter()
+                    d, i = knn_search(z, k=args.k + 1, query_tile=qt,
+                                      db_tile=dt, approx=bool(ap_flag),
+                                      aggregate=bool(agg))
+                    # d/i are host numpy — already fenced
+                    dt_s = time.perf_counter() - t0
+                    if r > 0:
+                        times.append(dt_s)
+                # cheap exactness probe: self-distance 0 at every row
+                self_ok = bool((d[:, 0] <= 1e-5).all())
+                key = f"{case}-approx{ap_flag}" + ("-agg0" if not agg else "")
+                results[key] = {"seconds": round(min(times), 2),
+                                "self_ok": self_ok}
+                print(f"[{key}] {min(times):.2f}s (all runs: "
+                      f"{[round(t, 2) for t in times]}, self_ok={self_ok})",
+                      file=sys.stderr)
     if args.recalls:
         d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
         ref_sets = [set(r) for r in i_ref]

@@ -48,6 +48,10 @@ def build_codebook_main(cfg: Config) -> Path:
         recon_loss=recon_loss, mse_use_sigmoid=mse_use_sigmoid)
     decode_fn = make_decoder_image_fn(model, variables, model.topology)
 
+    from ..parallel import get_mesh
+
+    mesh = get_mesh()  # all geo kernels shard over every visible chip
+
     lat = load_latents(cfg["latents_path"])
     z = lat["z"]
     if z.ndim != 4:
@@ -63,7 +67,7 @@ def build_codebook_main(cfg: Config) -> Path:
     t0 = time.perf_counter()
     W_eu, _ = build_knn_graph_auto(z_flat, k=k, metric="euclidean",
                                    mode="connectivity", sym=sym,
-                                   force_method=method)
+                                   force_method=method, mesh=mesh)
     t_knn = time.perf_counter() - t0
     print(f"[codebook] kNN graph: {W_eu.shape[0]} nodes, {W_eu.nnz} edges "
           f"({t_knn:.1f}s)")
@@ -75,7 +79,7 @@ def build_codebook_main(cfg: Config) -> Path:
         "batch_size", cfg.get("batch_size", 512)))
     t0 = time.perf_counter()
     lengths = edge_lengths_riemannian_auto(decode_fn, z_flat, rows, cols,
-                                           batch_size=batch_size)
+                                           batch_size=batch_size, mesh=mesh)
     t_riem = time.perf_counter() - t0
     print(f"[codebook] Riemannian re-weighting: {len(lengths)} edges "
           f"({t_riem:.1f}s)")
@@ -102,7 +106,9 @@ def build_codebook_main(cfg: Config) -> Path:
     t0 = time.perf_counter()
     medoids, assign_lcc, qe = fit_kmedoids(W_lcc, K=K, init=init, seed=seed,
                                            kpp_rounds=kpp_rounds,
-                                           kpp_schedule=kpp_schedule)
+                                           kpp_schedule=kpp_schedule,
+                                           mesh=mesh,
+                                           assume_symmetric=True)
     t_kmed = time.perf_counter() - t0
     print(f"[codebook] K-medoids: K={len(medoids)}, qe={qe:.3f} ({t_kmed:.1f}s)")
 

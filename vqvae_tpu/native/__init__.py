@@ -55,6 +55,10 @@ def _load() -> ctypes.CDLL:
     lib.vq_knn_exact.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64,
                                  ctypes.c_int64, f32p, i64p, ctypes.c_int]
     lib.vq_knn_exact.restype = None
+    lib.vq_ell_fill_bucket.argtypes = [
+        i32p, f32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, i32p, f32p, ctypes.c_int]
+    lib.vq_ell_fill_bucket.restype = None
     _lib = lib
     return lib
 
@@ -123,6 +127,26 @@ def knn_exact(z: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
                      _ptr(dists, ctypes.c_float), _ptr(idx, ctypes.c_int64),
                      _threads())
     return dists, idx
+
+
+def ell_fill_bucket(src_rows: np.ndarray, w: np.ndarray, starts: np.ndarray,
+                    counts: np.ndarray, n_pad: int, cap: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Dense (n_pad, cap) ELL bucket (row ids + weights) in one threaded
+    pass; see vq_ell_fill_bucket in graph_core.cpp."""
+    lib = _load()
+    src_rows = np.ascontiguousarray(src_rows, np.int32)
+    w = np.ascontiguousarray(w, np.float32)
+    starts = np.ascontiguousarray(starts, np.int64)
+    counts = np.ascontiguousarray(counts, np.int64)
+    nb = np.empty((n_pad, cap), np.int32)
+    wb = np.empty((n_pad, cap), np.float32)
+    lib.vq_ell_fill_bucket(
+        _ptr(src_rows, ctypes.c_int32), _ptr(w, ctypes.c_float),
+        _ptr(starts, ctypes.c_int64), _ptr(counts, ctypes.c_int64),
+        len(starts), n_pad, cap, _ptr(nb, ctypes.c_int32),
+        _ptr(wb, ctypes.c_float), _threads())
+    return nb, wb
 
 
 def available() -> bool:

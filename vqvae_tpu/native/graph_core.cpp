@@ -144,6 +144,38 @@ int64_t vq_connected_components(const int64_t* indptr, const int32_t* indices,
   return n_components;
 }
 
+// Fill one degree bucket of the ELL (degree-bucketed) relaxation layout
+// (ops/ell.py BucketedGraph): for each of n_rows real rows copy its
+// dst-sorted in-edges (row ids + weights) into a dense (n_pad, cap) pair of
+// matrices, padding unused slots with (0, +inf); rows >= n_rows are dummy
+// alignment rows. Replaces a ~8 s multi-pass numpy assembly at 30M edges
+// on this 1-core host with one threaded pass.
+void vq_ell_fill_bucket(const int32_t* src_rows, const float* w,
+                        const int64_t* starts, const int64_t* counts,
+                        int64_t n_rows, int64_t n_pad, int64_t cap,
+                        int32_t* nb, float* wb, int threads) {
+  const int64_t block = 4096;  // rows per work item (amortize dispatch)
+  const int64_t n_blocks = (n_pad + block - 1) / block;
+  run_threaded(n_blocks, threads, [&](int64_t b) {
+    const int64_t lo = b * block, hi = std::min(n_pad, lo + block);
+    for (int64_t r = lo; r < hi; ++r) {
+      int32_t* nbr = nb + r * cap;
+      float* wbr = wb + r * cap;
+      int64_t c = 0;
+      if (r < n_rows) {
+        const int64_t s = starts[r];
+        c = std::min(counts[r], cap);
+        std::memcpy(nbr, src_rows + s, c * sizeof(int32_t));
+        std::memcpy(wbr, w + s, c * sizeof(float));
+      }
+      for (int64_t j = c; j < cap; ++j) {
+        nbr[j] = 0;
+        wbr[j] = kInf;
+      }
+    }
+  });
+}
+
 // Exact kNN (euclidean), blocked over queries, threaded. Self-matches are
 // included (distance 0), mirroring the device kernel's contract.
 // dists/idx have shape (n, k) row-major.

@@ -43,6 +43,7 @@ def multi_source_distances(
     backend: str = "auto",
     d0=None,
     device_out: bool = False,
+    mesh=None,
 ):
     """(N, K) float32 distances from each of K sources to all nodes.
 
@@ -73,14 +74,15 @@ def multi_source_distances(
     from .ell import BucketedGraph, multi_source_shortest_paths_ell
 
     if isinstance(W_or_edges, BucketedGraph):
-        d = multi_source_shortest_paths_ell(W_or_edges, sources, d0=d0)
+        d = multi_source_shortest_paths_ell(W_or_edges, sources, d0=d0,
+                                            mesh=mesh)
     elif isinstance(W_or_edges, EdgeList):
         d = multi_source_shortest_paths(W_or_edges, sources, d0=d0)
     else:
         # CSR on device: the scatter-free bucketed engine is the fast path
         # (measured ~1.3x over the segment_min edge-list engine at 196k/K=512)
         d = multi_source_shortest_paths_ell(
-            BucketedGraph.from_csr(W_or_edges), sources, d0=d0)
+            BucketedGraph.from_csr(W_or_edges), sources, d0=d0, mesh=mesh)
     return d if device_out else np.asarray(d)
 
 

@@ -43,6 +43,7 @@ def build_knn_graph(
     mode: str = "distance",
     sym: str = "mutual",
     approx: bool = False,
+    mesh=None,
 ) -> Tuple[sparse.csr_matrix, Dict[str, np.ndarray]]:
     """Exact kNN graph. Returns (CSR adjacency, {"distances", "indices"}).
 
@@ -65,7 +66,7 @@ def build_knn_graph(
                  "indices": np.empty((n, 0), dtype=int)})
 
     dists, idxs = knn_search(z, min(k_eff + 1, n), metric=metric,
-                              approx=approx)
+                              approx=approx, mesh=mesh)
 
     # strip self-matches: normally the first column; with exact duplicates a
     # twin may rank first, so fall back to dropping the row-wise argmin.
@@ -90,6 +91,7 @@ def build_knn_graph_auto(
     sym: str = "mutual",
     force_method: Optional[str] = None,
     size_threshold: int = 50_000,
+    mesh=None,
 ) -> Tuple[sparse.csr_matrix, Dict[str, np.ndarray]]:
     """Reference-compatible entry point (knn_graph_optimized.py:129-170).
 
@@ -101,7 +103,7 @@ def build_knn_graph_auto(
     if force_method == "host":
         return _build_knn_graph_host(z, k, metric, mode, sym)
     return build_knn_graph(z, k=k, metric=metric, mode=mode, sym=sym,
-                           approx=(force_method == "approx"))
+                           approx=(force_method == "approx"), mesh=mesh)
 
 
 def _build_knn_graph_host(z, k, metric, mode, sym):

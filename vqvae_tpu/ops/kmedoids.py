@@ -54,7 +54,8 @@ class GraphHandle:
     backend must be chosen per call by its actual work, not once per fit.
     """
 
-    def __init__(self, W, backend: str = "auto"):
+    def __init__(self, W, backend: str = "auto", mesh=None,
+                 assume_symmetric: bool = False):
         from scipy import sparse
 
         from .ell import BucketedGraph
@@ -63,6 +64,8 @@ class GraphHandle:
         self._csr = None
         self._bucketed = None
         self._edges = None
+        self.mesh = mesh
+        self._assume_sym = assume_symmetric
         if isinstance(W, EdgeList):
             self._edges = W
             self.n_nodes = W.n_nodes
@@ -102,9 +105,11 @@ class GraphHandle:
         if self._bucketed is None:
             from .ell import BucketedGraph
 
-            self._bucketed = BucketedGraph.from_csr(self._csr)
+            self._bucketed = BucketedGraph.from_csr(
+                self._csr, assume_symmetric=self._assume_sym)
         return multi_source_distances(self._bucketed, sources, "device",
-                                      d0=d0, device_out=device_out)
+                                      d0=d0, device_out=device_out,
+                                      mesh=self.mesh)
 
 
 def _resolve(W: GraphLike, K: int, backend: str) -> Tuple["GraphHandle", str, int]:
@@ -150,14 +155,27 @@ def kpp_initialization(W: GraphLike, K: int, seed: int = 42,
     return centers
 
 
-@functools.lru_cache(maxsize=1)
-def _device_round_fns():
+@functools.lru_cache(maxsize=4)
+def _device_round_fns(mesh=None):
     """Jitted device-side helpers for the k-means|| round loop (built
-    lazily so importing this module never initializes a jax backend)."""
+    lazily so importing this module never initializes a jax backend).
+
+    With a >1-device ``mesh`` the (N, K) round state carries the same
+    K-axis sharding as the relaxation: ``warm_d0`` emits a K-sharded block
+    and ``round_update`` reduces it back to replicated (N,) vectors — so
+    rounds never gather the full (N, per_round) block onto one device.
+    """
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
+    out_shard = None
+    if mesh is not None and len(mesh.devices.ravel()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        out_shard = NamedSharding(mesh, P(None, DATA_AXIS))
+
     def warm_d0(d_min, sources):
         # (N, K) upper bounds: every column starts at the running
         # nearest-center distance; each source's own column starts at 0
@@ -165,7 +183,6 @@ def _device_round_fns():
         d0 = jnp.broadcast_to(d_min[:, None], (d_min.shape[0], k))
         return d0.at[sources, jnp.arange(k)].set(0.0)
 
-    @jax.jit
     def round_update(d_new, d_min, assign, round_ids):
         best = jnp.min(d_new, axis=1)
         local = jnp.argmin(d_new, axis=1)
@@ -173,11 +190,17 @@ def _device_round_fns():
         assign = jnp.where(improved, round_ids[local], assign)
         return jnp.minimum(d_min, best), assign
 
-    return warm_d0, round_update
+    warm = (jax.jit(warm_d0, out_shardings=out_shard) if out_shard is not None
+            else jax.jit(warm_d0))
+    return warm, jax.jit(round_update)
 
 
-def _warm_d0(d_min, sources):
-    return _device_round_fns()[0](d_min, sources)
+def _warm_d0(d_min, sources, mesh=None):
+    if mesh is not None:  # uneven K cannot shard: stay replicated
+        n_shards = len(mesh.devices.ravel())
+        if n_shards <= 1 or int(sources.shape[0]) % n_shards:
+            mesh = None
+    return _device_round_fns(mesh)[0](d_min, sources)
 
 
 def _round_update(d_new, d_min, assign, round_ids):
@@ -208,7 +231,8 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
                                 rounds: int = 4,
                                 backend: str = "auto",
                                 return_assignment: bool = False,
-                                schedule: str = "flat"):
+                                schedule: str = "flat",
+                                mesh=None):
     """Batched k-means|| initialization: R multi-source passes total.
 
     With ``return_assignment`` the per-round distance passes double as the
@@ -232,6 +256,9 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
       sampling, instead of the full (N, per_round) distance block.
     """
     graph, backend, n = _resolve(W, max(1, (K - 1) // max(rounds, 1)), backend)
+    if mesh is not None and graph.mesh is None:
+        graph.mesh = mesh
+    mesh = graph.mesh
     rng = np.random.default_rng(seed)
     first = int(rng.integers(0, n))
     centers: List[int] = [first]
@@ -264,7 +291,7 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
         # relax from the centers added last round (one batched pass)
         srcs = np.asarray(new_centers, np.int64)
         if use_device:
-            d0 = _warm_d0(d_min_dev, jnp.asarray(srcs, jnp.int32))
+            d0 = _warm_d0(d_min_dev, jnp.asarray(srcs, jnp.int32), mesh=mesh)
             d_new_dev = graph.distances(srcs, d0=d0, device_out=True)
             d_min_dev, assign_dev = _round_update(
                 d_new_dev, d_min_dev, assign_dev,
@@ -342,6 +369,8 @@ def fit_kmedoids(
     kpp_schedule: str = "flat",
     backend: str = "auto",
     reorder: bool = True,
+    mesh=None,
+    assume_symmetric: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
     """Graph K-medoids: init + one-shot assignment + QE.
 
@@ -363,7 +392,12 @@ def fit_kmedoids(
         perm = bfs_node_order(W)
         W = W.tocsr()[perm][:, perm]
 
+    if sparse.issparse(W):  # symmetry survives the BFS permutation
+        W = GraphHandle(W, backend, mesh=mesh,
+                        assume_symmetric=assume_symmetric)
     graph, resolved, n = _resolve(W, K, backend)
+    if mesh is not None and graph.mesh is None:
+        graph.mesh = mesh
     assign = dist = None
     if init == "kpp":
         medoids = np.asarray(kpp_initialization(graph, K, seed=seed,
@@ -375,7 +409,7 @@ def fit_kmedoids(
         # K-wide assignment pass, ~2x on this stage)
         medoids, assign, dist = kpp_parallel_initialization(
             graph, K, seed=seed, rounds=kpp_rounds, backend=resolved,
-            return_assignment=True, schedule=kpp_schedule)
+            return_assignment=True, schedule=kpp_schedule, mesh=mesh)
         medoids = np.asarray(medoids, dtype=np.int64)
     elif init == "random":
         rng = np.random.default_rng(seed)

@@ -3,13 +3,25 @@
 Replaces the reference's sklearn (<50k points) / FAISS (>=50k) backend split
 (reference src/geo/knn_graph_optimized.py:25-168) with a single tiled
 brute-force kernel: squared distances ``|q|^2 - 2 q.x + |x|^2`` computed on
-the MXU in f32, streamed over database tiles with a running top-k merge, so
-memory stays O(query_tile * db_tile) regardless of N. The reference's 50k
+the MXU in f32, streamed over database tiles, so memory stays
+O(query_tile * db_tile) regardless of N. The reference's 50k
 ``size_threshold`` backend switch becomes a tile-size knob.
 
-Queries are processed in host-level blocks (default 128k rows): every block
-reuses ONE compiled program (block shapes are constant), which bounds both
-device memory and program size at million-row scale.
+Selection is two-level and *deferred*: each database tile contributes its
+local ``k + margin`` candidates (cheap per-tile top-k / PartialReduce), the
+per-tile winners are stacked across the whole database stream, and ONE
+exact f32 re-rank + final top-k per query tile picks the global neighbors.
+Compared to the previous running-merge formulation (a sort-based top-k over
+the merged candidate buffer after *every* database tile) this removes the
+scan's serial merge dependency entirely — the per-tile work is just
+matmul + local select — which is what moves the kernel from
+selection-bound toward bandwidth-bound.
+
+Multi-chip: pass ``mesh`` to shard the query axis across devices with
+``shard_map`` (database replicated — it is small: N x 16 f32 = 63 MB at the
+983k north-star shape). Each chip streams the full database over its own
+query rows; no collectives are needed (SURVEY.md §2.2: the FAISS-replacement
+row is committed to chip-sharded kNN).
 
 Supports euclidean and cosine metrics with sklearn/FAISS-compatible
 semantics (cosine distance = 1 - cosine similarity on normalized vectors,
@@ -19,7 +31,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,15 +40,12 @@ import numpy as np
 _INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric", "query_tile",
-                                             "db_tile", "approx", "margin",
-                                             "recall"))
-def _knn_block(
-    zq: jax.Array,        # (Qp, D) padded query block, f32 (pre-normalized
-                          #  for cosine)
-    z: jax.Array,         # (Np, D) padded database, f32 (pre-normalized)
-    n_valid: jax.Array,   # scalar int32: true db rows
-    q_valid: jax.Array,   # scalar int32: true query rows in this block
+def _knn_block_impl(
+    zq: jax.Array,           # (Qp, D) padded query block (local shard)
+    z: jax.Array,            # (Np, D) padded database, replicated
+    row_valid: jax.Array,    # (Np,) bool: true db rows
+    q_row_valid: jax.Array,  # (Qp,) bool: true query rows (local shard)
+    *,
     k: int,
     metric: str,
     query_tile: int,
@@ -44,6 +53,7 @@ def _knn_block(
     approx: bool,
     margin: int,
     recall: float,
+    aggregate: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     Qp, D = zq.shape
     Np = z.shape[0]
@@ -51,16 +61,14 @@ def _knn_block(
     n_dt = Np // db_tile
     # The streaming distance matmul runs at default MXU precision (bf16
     # passes on TPU) and the |q|^2 - 2 q.x + |x|^2 form cancels for
-    # near-duplicates, so we over-select k+margin candidates with the fast
-    # form and re-rank them with exact f32 per-candidate distances. The
-    # result is exact whenever fewer than ``margin`` bf16-misranked
-    # near-ties collide per query; raise ``margin`` for data with larger
-    # near-duplicate clusters (adversarial test: tests/test_knn_graph.py).
-    k_sel = min(k + margin, Np)
+    # near-duplicates, so each tile over-selects k+margin candidates with
+    # the fast form; the deferred exact f32 re-rank below restores exact
+    # distances and ordering. The result is exact unless more than
+    # ``margin`` bf16-misranked near-ties collide per query *within one
+    # database tile* (adversarial test: tests/test_knn_graph.py).
+    k_sel = min(k + margin, db_tile)
 
     db_sq = (z * z).sum(axis=1)  # (Np,)
-    row_valid = jnp.arange(Np, dtype=jnp.int32) < n_valid
-    q_row_valid = jnp.arange(Qp, dtype=jnp.int32) < q_valid
 
     zq_t = zq.reshape(n_qt, query_tile, D)
     qv_t = q_row_valid.reshape(n_qt, query_tile)
@@ -69,8 +77,7 @@ def _knn_block(
     def query_step(_, inputs):
         q, qv, qs = inputs  # (T,D), (T,), (T,)
 
-        def db_step(carry, j):
-            best_d, best_i = carry  # (T,k_sel), (T,k_sel)
+        def db_step(_, j):
             start = j * db_tile
             x = jax.lax.dynamic_slice_in_dim(z, start, db_tile, axis=0)
             xs = jax.lax.dynamic_slice_in_dim(db_sq, start, db_tile, axis=0)
@@ -84,53 +91,81 @@ def _knn_block(
             d = jnp.where(xv[None, :], d, _INF)  # mask padded db rows
             if approx:
                 # TPU PartialReduce: ~10x cheaper than the full sort-based
-                # top_k that otherwise dominates kNN wall-clock; the exact
-                # re-rank below keeps reported distances exact, and a
-                # recall test bounds the candidate-miss rate
+                # top_k; the exact re-rank below keeps reported distances
+                # exact, and a recall contract test bounds the
+                # candidate-miss rate (tests/test_knn_graph.py).
+                # aggregate=False skips even the per-tile exact top-k over
+                # the PartialReduce output — the final re-rank is the only
+                # aggregation anywhere (wider candidate set, same recall).
                 cand_d, cand_j = jax.lax.approx_min_k(
-                    d, k_sel, recall_target=recall)
+                    d, k_sel, recall_target=recall,
+                    aggregate_to_topk=aggregate)
             else:
                 neg_d, cand_j = jax.lax.top_k(-d, k_sel)  # per-tile top-k
                 cand_d = -neg_d
-            cand_i = (cand_j + start).astype(jnp.int32)
-            all_d = jnp.concatenate([best_d, cand_d], axis=1)
-            all_i = jnp.concatenate([best_i, cand_i], axis=1)
-            merged_d, sel = jax.lax.top_k(-all_d, k_sel)
-            merged_i = jnp.take_along_axis(all_i, sel, axis=1)
-            return (-merged_d, merged_i), None
+            return None, (cand_d, (cand_j + start).astype(jnp.int32))
 
-        init = (jnp.full((query_tile, k_sel), _INF),
-                jnp.full((query_tile, k_sel), -1, jnp.int32))
-        (best_d, best_i), _ = jax.lax.scan(db_step, init,
+        # stream all db tiles, stacking per-tile candidates — no serial
+        # merge in the scan carry
+        _, (cand_d, cand_i) = jax.lax.scan(db_step, None,
                                            jnp.arange(n_dt, dtype=jnp.int32))
-        # exact re-rank of the candidate set in f32 on the VPU
-        cand = z[jnp.maximum(best_i, 0)]               # (T, k_sel, D)
+        width = cand_i.shape[2]  # k_sel, or PartialReduce width (agg=False)
+        all_d = cand_d.transpose(1, 0, 2).reshape(query_tile, n_dt * width)
+        all_i = cand_i.transpose(1, 0, 2).reshape(query_tile, n_dt * width)
+        # ONE exact f32 re-rank over every candidate from every tile
+        cand = z[all_i]                                # (T, C, D)
         if metric == "euclidean":
             diff = q[:, None, :] - cand
             exact = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
         else:
             exact = 1.0 - (q[:, None, :] * cand).sum(-1)
-        exact = jnp.where(best_i >= 0, exact, _INF)
+        # padded db rows / unfilled PartialReduce slots carry +inf selection
+        # values — mask them without another gather
+        exact = jnp.where(jnp.isfinite(all_d), exact, _INF)
         neg_top, sel = jax.lax.top_k(-exact, k)
-        best_d = -neg_top
-        best_i = jnp.take_along_axis(best_i, sel, axis=1)
-        best_d = jnp.where(qv[:, None], best_d, _INF)
+        best_d = jnp.where(qv[:, None], -neg_top, _INF)
+        best_i = jnp.take_along_axis(all_i, sel, axis=1)
         return None, (best_d, best_i)
 
     _, (dists, idxs) = jax.lax.scan(query_step, None, (zq_t, qv_t, q_sq_t))
     return dists.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
+@functools.lru_cache(maxsize=32)
+def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
+                  approx: bool, margin: int, recall: float,
+                  aggregate: bool = True):
+    """Compiled block kernel; query-axis shard_map when a >1-device mesh is
+    given, plain single-device jit otherwise."""
+    impl = functools.partial(_knn_block_impl, k=k, metric=metric,
+                             query_tile=query_tile, db_tile=db_tile,
+                             approx=approx, margin=margin, recall=recall,
+                             aggregate=aggregate)
+    if mesh is not None and len(mesh.devices.ravel()) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        impl = jax.shard_map(
+            impl, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(None, None), P(None),
+                      P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)))
+    return jax.jit(impl)
+
+
 def knn_search(
     z: np.ndarray | jax.Array,
     k: int,
     metric: str = "euclidean",
-    query_tile: int = 1024,
-    db_tile: int = 8192,
+    query_tile: int | None = None,
+    db_tile: int | None = None,
     query_block: int = 131_072,
     approx: bool = False,
     margin: int | None = None,
     recall_target: float | None = None,
+    aggregate: bool | None = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
@@ -142,21 +177,30 @@ def knn_search(
     the native threaded host kernel as an escape hatch.
 
     ``margin`` (default 4, env ``VQVAE_TPU_KNN_MARGIN``): extra candidates
-    kept per query before the exact f32 re-rank. Results are exact unless
-    more than ``margin`` bf16 near-ties collide per query, in which case
-    any swapped neighbor differs by at most the tie spread; raise the
-    margin to cover known near-duplicate cluster sizes.
+    kept per database tile before the exact f32 re-rank. Results are exact
+    unless more than ``margin`` bf16 near-ties collide per query within one
+    tile, in which case any swapped neighbor differs by at most the tie
+    spread; raise the margin to cover known near-duplicate cluster sizes.
 
     ``approx=True`` additionally relaxes per-tile candidate selection to
     ``lax.approx_min_k`` (per-tile candidate recall; reported distances
     stay exact for returned indices). ``recall_target`` (default 0.95,
     env ``VQVAE_TPU_KNN_RECALL``) trades selection speed for candidate
     recall — measured sweep in docs/benchmarks.md.
+
+    ``mesh``: optional `jax.sharding.Mesh`; shards the query axis across
+    its devices (database replicated, no collectives).
     """
     if margin is None:
         margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN", 4))
     if recall_target is None:
         recall_target = float(os.environ.get("VQVAE_TPU_KNN_RECALL", 0.95))
+    if query_tile is None:
+        query_tile = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
+    if db_tile is None:
+        db_tile = int(os.environ.get("VQVAE_TPU_KNN_DT", 32768))
+    if aggregate is None:
+        aggregate = os.environ.get("VQVAE_TPU_KNN_AGG", "1") == "1"
     z = np.asarray(z, dtype=np.float32)
     if z.ndim != 2:
         raise ValueError("z must be (N, D)")
@@ -186,17 +230,23 @@ def knn_search(
     z_db = zn if n_db_pad == n else np.concatenate(
         [zn, np.zeros((n_db_pad - n, z.shape[1]), np.float32)])
     z_db_j = jnp.asarray(z_db)
+    row_valid = jnp.asarray(np.arange(n_db_pad) < n)
 
-    block = min(_round_up(n, query_tile), _round_up(query_block, query_tile))
+    n_shards = len(mesh.devices.ravel()) if mesh is not None else 1
+    block_align = query_tile * n_shards
+    block = min(_round_up(n, block_align),
+                _round_up(query_block, block_align))
+    fn = _build_knn_fn(mesh if n_shards > 1 else None, k, metric, query_tile,
+                       db_tile, approx, margin, float(recall_target),
+                       bool(aggregate) or not approx)
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):
         e = min(s + block, n)
         q = np.zeros((block, z.shape[1]), np.float32)
         q[:e - s] = zn[s:e]
-        d, i = _knn_block(jnp.asarray(q), z_db_j, jnp.int32(n),
-                          jnp.int32(e - s), k, metric, query_tile, db_tile,
-                          approx, margin, float(recall_target))
+        qv = np.arange(block) < (e - s)
+        d, i = fn(jnp.asarray(q), z_db_j, row_valid, jnp.asarray(qv))
         dists[s:e] = np.asarray(d[:e - s])
         idxs[s:e] = np.asarray(i[:e - s]).astype(np.int64)
     return dists, idxs

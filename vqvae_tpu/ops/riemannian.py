@@ -39,18 +39,44 @@ def make_decoder_image_fn(model, variables, topology: str) -> Callable:
     return decode_fn
 
 
-@functools.partial(jax.jit, static_argnames=("decode_fn",))
-def _batched_lengths(decode_fn, z_start_chunks, z_end_chunks):
-    def one_chunk(args):
-        za, zb = args
-        v = zb - za
-        _, jvp_a = jax.jvp(decode_fn, (za,), (v,))
-        _, jvp_b = jax.jvp(decode_fn, (zb,), (v,))
-        na = jnp.linalg.norm(jvp_a.astype(jnp.float32), axis=1)
-        nb = jnp.linalg.norm(jvp_b.astype(jnp.float32), axis=1)
-        return 0.5 * (na + nb)
+@functools.lru_cache(maxsize=16)
+def _build_lengths_fn(mesh, decode_fn, fused: bool):
+    """Compiled chunked edge-length kernel.
 
-    return jax.lax.map(one_chunk, (z_start_chunks, z_end_chunks))
+    ``mesh``: >1-device meshes shard the chunk axis with ``shard_map``
+    (edge chunks are embarrassingly data-parallel; decoder params ride in as
+    replicated closure constants). ``fused``: evaluate both endpoint JVPs in
+    ONE decoder linearization over the concatenated (za, zb) batch — half
+    the kernel dispatches of the two-call form at identical FLOPs.
+    """
+    def impl(z_start_chunks, z_end_chunks):
+        def one_chunk(args):
+            za, zb = args
+            v = zb - za
+            if fused:
+                _, jvp = jax.jvp(decode_fn,
+                                 (jnp.concatenate([za, zb]),),
+                                 (jnp.concatenate([v, v]),))
+                norms = jnp.linalg.norm(jvp.astype(jnp.float32), axis=1)
+                na, nb = norms[:za.shape[0]], norms[za.shape[0]:]
+            else:
+                _, jvp_a = jax.jvp(decode_fn, (za,), (v,))
+                _, jvp_b = jax.jvp(decode_fn, (zb,), (v,))
+                na = jnp.linalg.norm(jvp_a.astype(jnp.float32), axis=1)
+                nb = jnp.linalg.norm(jvp_b.astype(jnp.float32), axis=1)
+            return 0.5 * (na + nb)
+
+        return jax.lax.map(one_chunk, (z_start_chunks, z_end_chunks))
+
+    if mesh is not None and len(mesh.devices.ravel()) > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        spec = P(DATA_AXIS, *([None] * 2))
+        impl = jax.shard_map(impl, mesh=mesh, in_specs=(spec, spec),
+                             out_specs=P(DATA_AXIS, None))
+    return jax.jit(impl)
 
 
 @functools.partial(jax.jit, static_argnames=("decode_fn",))
@@ -154,6 +180,7 @@ def edge_lengths_riemannian_auto(
     rows: np.ndarray,
     cols: np.ndarray,
     batch_size: int = 1024,
+    mesh=None,
 ) -> np.ndarray:
     """Riemannian edge-length engine dispatch — MEASURED verdict: edgewise.
 
@@ -174,7 +201,7 @@ def edge_lengths_riemannian_auto(
                                              batch_size=batch_size)
     z = np.asarray(z, np.float32)
     return edge_lengths_riemannian(decode_fn, z[rows], z[cols],
-                                   batch_size=batch_size)
+                                   batch_size=batch_size, mesh=mesh)
 
 
 def edge_lengths_riemannian(
@@ -182,13 +209,21 @@ def edge_lengths_riemannian(
     z_start: np.ndarray,
     z_end: np.ndarray,
     batch_size: int = 512,
+    mesh=None,
+    fused: bool | None = None,
 ) -> np.ndarray:
     """Riemannian lengths for E edges; returns (E,) float32.
 
     ``decode_fn`` maps a latent batch to flattened [0,1] images (see
     ``make_decoder_image_fn``). Edges are processed in fixed ``batch_size``
-    chunks (padded) under one jit.
+    chunks (padded) under one jit. ``mesh`` shards the chunk axis across
+    devices; ``fused`` (env ``VQVAE_TPU_RIEM_FUSED``, default on) evaluates
+    both endpoint JVPs in one concatenated decoder pass.
     """
+    import os
+
+    if fused is None:
+        fused = os.environ.get("VQVAE_TPU_RIEM_FUSED", "1") == "1"
     z_start = np.asarray(z_start, np.float32)
     z_end = np.asarray(z_end, np.float32)
     if z_start.shape != z_end.shape:
@@ -197,13 +232,17 @@ def edge_lengths_riemannian(
     if e == 0:
         return np.empty((0,), np.float32)
     bs = min(batch_size, e)
-    e_pad = ((e + bs - 1) // bs) * bs
+    n_shards = len(mesh.devices.ravel()) if mesh is not None else 1
+    n_chunks = -(-e // bs)
+    n_chunks = -(-n_chunks // n_shards) * n_shards  # shard-divisible
+    e_pad = n_chunks * bs
     if e_pad > e:
         pad = np.zeros((e_pad - e, *z_start.shape[1:]), np.float32)
         z_start = np.concatenate([z_start, pad])
         z_end = np.concatenate([z_end, pad])
-    n_chunks = e_pad // bs
     za = jnp.asarray(z_start).reshape(n_chunks, bs, *z_start.shape[1:])
     zb = jnp.asarray(z_end).reshape(n_chunks, bs, *z_end.shape[1:])
-    out = _batched_lengths(decode_fn, za, zb)
+    fn = _build_lengths_fn(mesh if n_shards > 1 else None, decode_fn,
+                           bool(fused))
+    out = fn(za, zb)
     return np.asarray(out).reshape(e_pad)[:e].astype(np.float32)

@@ -90,6 +90,16 @@ def run_on_cpu(fn, *args):
         return jax.jit(fn)(*args)
     if jax.default_backend() == "cpu":
         return jax.jit(fn)(*args)
-    args = jax.device_get(args)  # uncommit: inputs may live on the TPU
+
+    def _to_host(x):
+        # device_get leaves typed PRNG key arrays committed to their device
+        # (which would silently pull the jit back onto the accelerator —
+        # a minutes-long remote compile); place every jax array explicitly
+        # on the CPU device instead.
+        if isinstance(x, jax.Array):
+            return jax.device_put(x, cpu)
+        return x
+
+    args = jax.tree_util.tree_map(_to_host, jax.device_get(args))
     with jax.default_device(cpu):
         return jax.device_get(jax.jit(fn)(*args))

@@ -346,7 +346,7 @@ class VAEEngine:
             lambda s: jax.tree_util.tree_map(jnp.copy, s))
         best_dev = snapshot(state)
         best_epoch = 0
-        save_stride, write_est = 1, 0.0
+        save_stride, write_est, last_best_write = 1, 0.0, 0
 
         # device-resident fast path (one dispatch per epoch) unless host-side
         # augmentation forces per-batch host work
@@ -409,14 +409,17 @@ class VAEEngine:
                 # crash-safe best, like the reference's best.pt (engine.py:
                 # 143, weights only) — written at the cadence one async
                 # write (tunnel pull + serialize) actually sustains; the
-                # full state follows after the loop
-                if ckptr and (epoch % save_stride == 0
+                # full state follows after the loop. Gated on epochs SINCE
+                # the last best write (not epoch modulo), so an improvement
+                # on an off-stride epoch still persists within one stride.
+                if ckptr and (epoch - last_best_write >= save_stride
                               or epoch == num_epochs):
                     t_ck = _time.perf_counter()
                     ckptr.save_async("best", {
                         "params": best_dev.params,
                         "batch_stats": best_dev.batch_stats,
                         "step": int(best_dev.step), "epoch": epoch})
+                    last_best_write = epoch
                     write_est = max(_time.perf_counter() - t_ck,
                                     0.7 * write_est)
                     save_stride = max(1, min(

@@ -39,12 +39,17 @@ class Checkpointer:
         return self.dir / name
 
     def save_async(self, name: str, state: Any) -> None:
-        """Schedule a save and return; the serialization/write overlaps the
-        caller's next work. Per-epoch ``latest`` checkpoints use this — the
-        synchronous write was costing ~10 s/epoch of training wall-clock
-        (measured: the vanilla fullscale transformer stage spent ~300 s of
-        475 s in checkpoint writes). ``flush()`` (or the next ``save``/
-        ``restore``/``close``) completes the atomic rename."""
+        """Schedule a save and return; the Orbax serialization/disk write
+        overlaps the caller's next work. NOTE the device->host pull
+        (``jax.device_get`` below) is still synchronous in the caller — on
+        this platform that tunnel pull is a dominant cost, which is why the
+        engines pair this with device-side snapshots + adaptive cadence
+        rather than calling it every epoch. Per-epoch ``latest``
+        checkpoints use this — the fully synchronous write was costing
+        ~10 s/epoch of training wall-clock (measured: the vanilla
+        fullscale transformer stage spent ~300 s of 475 s in checkpoint
+        writes). ``flush()`` (or the next ``save``/``restore``/``close``)
+        completes the atomic rename."""
         self.flush()  # one in-flight save at a time keeps renames ordered
         tmp = self.dir / f".{name}.tmp"
         if tmp.exists():
