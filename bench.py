@@ -24,12 +24,17 @@ threads pinned), and extrapolates to the (K-1) init chain + the reference's
 two K-source passes. BENCH_BASELINE_FULL=1 runs the whole loop instead.
 
 Scale knobs (env):
-  BENCH_NODES    total graph nodes          (default 196608)
+  BENCH_NODES    total graph nodes          (default 983040 — the
+                 north-star shape: 60k FashionMNIST images x 16 grid
+                 cells; BENCH_NODES=196608 reproduces the round-1/2 shape)
   BENCH_KNN      kNN k                      (default 10)
   BENCH_CODES    codebook size K            (default 512)
-  BENCH_RUNS     measured runs for ours     (default 3, median)
+  BENCH_RUNS     measured runs for ours     (default 3; 2 at >=500k nodes)
+  BENCH_KNN_APPROX  0/1 (default 1: PartialReduce candidate selection,
+                 measured recall 0.9995+ vs exact — the production
+                 fullscale default; 0 forces exact selection)
   BENCH_BASELINE           run baseline 0/1 (default 1)
-  BENCH_BASELINE_CENTERS   sampled centers  (default 24)
+  BENCH_BASELINE_CENTERS   sampled centers  (default 24; 10 at >=500k)
   BENCH_BASELINE_FULL      full loop 0/1    (default 0)
   BENCH_PEAK_TFLOPS / BENCH_PEAK_GBPS  hardware peaks (default v5e:
   197 bf16-TFLOPs, 819 HBM GB/s) for the utilization percentages
@@ -80,7 +85,8 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     t0 = time.perf_counter()
     W, _ = build_knn_graph(z, k=k, metric="euclidean", mode="connectivity",
                            sym="union",
-                           approx=os.environ.get("BENCH_KNN_APPROX") == "1",
+                           approx=os.environ.get("BENCH_KNN_APPROX",
+                                                 "1") == "1",
                            mesh=mesh)
     t_knn = time.perf_counter() - t0
     rows, cols = W.nonzero()
@@ -104,11 +110,13 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     # --- utilization ------------------------------------------------------
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))
     peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", 819))
-    np_pad = ((n + 8191) // 8192) * 8192  # kNN db pad (ops/knn.py db_tile)
+    knn_dt = int(os.environ.get("VQVAE_TPU_KNN_DT", 32768))
+    knn_qt = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
+    np_pad = ((n + knn_dt - 1) // knn_dt) * knn_dt  # kNN db pad
     knn_flops = 2.0 * n * np_pad * d
     knn_tflops = knn_flops / max(t_knn, 1e-9) / 1e12
-    # db tiles re-streamed per 1024-row query tile:
-    knn_bytes = (n / 1024.0) * np_pad * d * 4
+    # db tiles re-streamed once per query tile:
+    knn_bytes = (n / knn_qt) * np_pad * d * 4
     knn_gbps = knn_bytes / max(t_knn, 1e-9) / 1e9
     ell = ELL_STATS[stats_start:]
     ell_bytes = sum(e["bytes"] for e in ell)
@@ -127,6 +135,9 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
         "relaxation_seconds_in_solver": round(ell_secs, 2),
         "qe": round(float(qe), 2),
         "lcc_nodes": int(mask.sum()),
+        "knn_mode": ("approx-partialreduce"
+                     if os.environ.get("BENCH_KNN_APPROX", "1") == "1"
+                     else "exact"),
     }
     log(f"[ours] knn={t_knn:.1f}s riemannian={t_riem:.1f}s "
         f"kmedoids={t_kmed:.1f}s total={total:.1f}s (K={len(medoids)}, "
@@ -277,10 +288,12 @@ def run_baseline(z: np.ndarray, k: int, K: int, decode_fn) -> dict:
 
 
 def main() -> None:
-    n_nodes = int(os.environ.get("BENCH_NODES", 196608))
+    n_nodes = int(os.environ.get("BENCH_NODES", 983040))
     k = int(os.environ.get("BENCH_KNN", 10))
     K = int(os.environ.get("BENCH_CODES", 512))
-    n_runs = int(os.environ.get("BENCH_RUNS", 3))
+    big = n_nodes >= 500_000
+    n_runs = int(os.environ.get("BENCH_RUNS", 2 if big else 3))
+    os.environ.setdefault("BENCH_BASELINE_CENTERS", "10" if big else "24")
     run_base = os.environ.get("BENCH_BASELINE", "1") == "1"
 
     import jax
@@ -345,6 +358,13 @@ def main() -> None:
         base = run_baseline(z, k=k, K=K, decode_fn=decode_fn)
         vs = base["seconds"] / ours
         detail["baseline"] = base
+        if ours_override:
+            # the stored "ours" median and this freshly measured baseline
+            # come from different sessions on a platform with ~2x
+            # cross-session variance — flag it wherever the number lands
+            detail["speedup_caveat"] = "ours=override (different session)"
+            log(f"[bench] vs_baseline={vs:.1f} — CAVEAT: ours=override "
+                f"(different session), baseline measured now")
 
     print(json.dumps({
         "metric": "geodesic_codebook_build_seconds",

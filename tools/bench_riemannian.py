@@ -29,7 +29,10 @@ def main():
     ap.add_argument("--knn", type=int, default=10)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--engines", default="nodal,edgewise")
+    ap.add_argument("--engines", default="nodal,edgewise",
+                    help="comma list of: nodal, edgewise (unfused 2-JVP), "
+                         "fused (one concatenated-endpoint JVP), bf16 "
+                         "(fused + bf16 decoder compute, f32 norms)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -59,11 +62,17 @@ def main():
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
     W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
-                           mode="connectivity", sym="union")
+                           mode="connectivity", sym="union", approx=True)
     rows, cols = W.nonzero()
     keep = rows < cols
     rows, cols = rows[keep], cols[keep]
     print(f"[graph] {len(rows)} undirected edges", file=sys.stderr)
+
+    bf16_model = VAE(in_channels=1, latent_dim=args.dim, topology="spatial",
+                     output_image_size=28, norm_type="batch",
+                     recon_loss="mse", enc_channels=(64, 128, 256),
+                     dec_channels=(256, 128, 64), dtype=jax.numpy.bfloat16)
+    decode_bf16 = make_decoder_image_fn(bf16_model, variables, "spatial")
 
     results = {}
     ref = None
@@ -74,9 +83,18 @@ def main():
             if engine == "nodal":
                 lengths = edge_lengths_riemannian_nodal(
                     decode_fn, z, rows, cols, batch_size=args.batch)
+            elif engine == "fused":
+                lengths = edge_lengths_riemannian(
+                    decode_fn, z[rows], z[cols], batch_size=args.batch,
+                    fused=True)
+            elif engine == "bf16":
+                lengths = edge_lengths_riemannian(
+                    decode_bf16, z[rows], z[cols], batch_size=args.batch,
+                    fused=True)
             else:
                 lengths = edge_lengths_riemannian(
-                    decode_fn, z[rows], z[cols], batch_size=args.batch)
+                    decode_fn, z[rows], z[cols], batch_size=args.batch,
+                    fused=False)
             dt = time.perf_counter() - t0
             if r > 0:
                 times.append(dt)

@@ -92,19 +92,25 @@ def train_transformer_main(cfg: Config) -> Path:
 
         ckptr = Checkpointer(out_dir / "checkpoints")
         if ckptr.exists("latest"):
-            try:  # completed stage: full state incl. optimizer
+            # pick the restore target by the checkpoint's actual saved keys
+            # (completed stages persist opt_state; mid-stage crash-safe
+            # writes are weights-only) — a failed restore then surfaces its
+            # real error instead of silently dropping optimizer state
+            full = "opt_state" in ckptr.saved_keys("latest")
+            if full:
                 restored = ckptr.restore("latest", target={
                     "params": state.params, "opt_state": state.opt_state,
                     "step": 0, "epoch": 0})
                 state = state.replace(params=restored["params"],
                                       opt_state=restored["opt_state"],
                                       step=restored["step"])
-            except Exception:  # mid-stage crash: per-epoch weights-only
+            else:
                 restored = ckptr.restore("latest", target={
                     "params": state.params, "step": 0, "epoch": 0})
                 state = state.replace(params=restored["params"],
                                       step=restored["step"])
-            print(f"[transformer] resumed from epoch {restored['epoch']}")
+            print(f"[transformer] resumed from epoch {restored['epoch']} "
+                  f"({'full state' if full else 'weights-only'})")
     engine.train(state, train_loader, val_loader,
                  num_epochs=int(train_cfg["epochs"]),
                  checkpoint_dir=out_dir / "checkpoints",

@@ -133,6 +133,19 @@ class BucketedGraph(NamedTuple):
         caps_arr = np.asarray(caps)
         bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
 
+        # merge sparsely-populated buckets upward: every bucket costs a
+        # scan + its own relaxation program in the sweep, so a bucket worth
+        # only a few row-chunks is pure overhead — promote its rows to the
+        # next power-of-two cap (their extra slots are +inf-padded, adding
+        # gather traffic only for those few rows)
+        min_rows = int(os.environ.get("VQVAE_TPU_ELL_MINROWS", 8192))
+        sizes = np.bincount(bucket_of, minlength=len(caps))
+        for b in range(len(caps) - 1):
+            if 0 < sizes[b] < min_rows:
+                bucket_of[bucket_of == b] = b + 1
+                sizes[b + 1] += sizes[b]
+                sizes[b] = 0
+
         # pass 1 (cheap, O(N)): bucket membership, row offsets, inv_perm —
         # so pass 2 can gather ROW ids directly (one fused gather per
         # bucket, instead of gathering node ids and re-gathering through
@@ -207,12 +220,30 @@ class BucketedGraph(NamedTuple):
         )
 
 
+def _deg_block(chunk: int, deg: int, k: int) -> int:
+    """Neighbor columns gathered per relaxation step (env
+    ``VQVAE_TPU_ELL_DEGBLOCK``: 0 = auto by a ~64 MB buffer cap, 1 = the
+    one-column-at-a-time formulation, N = force N)."""
+    forced = int(os.environ.get("VQVAE_TPU_ELL_DEGBLOCK", 0))
+    if forced >= 1:
+        b = forced
+    else:
+        budget = 16 * 1024 * 1024  # f32 elements (~64 MB)
+        b = max(1, budget // max(chunk * k, 1))
+    b = min(b, deg)
+    while deg % b:  # caps are powers of two; keep the loop exact
+        b //= 2
+    return max(b, 1)
+
+
 def _row_chunk(n_rows: int) -> int:
-    """Row-chunk size bounding the sweep's live buffers to (chunk, K)."""
+    """Row-chunk size bounding the sweep's live buffers to (chunk, K)
+    (env ``VQVAE_TPU_ELL_CHUNK`` overrides the 16384 cap)."""
     if n_rows <= 0:
         return 1
+    cap = int(os.environ.get("VQVAE_TPU_ELL_CHUNK", 16384))
     c = 1
-    while c < min(n_rows, 16384):
+    while c < min(n_rows, cap):
         c *= 2
     return c
 
@@ -242,8 +273,15 @@ def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
             n_chunks = rows // chunk
             row_off = int(offsets[b])
 
+            # gather B neighbor columns per step: fewer, larger row gathers
+            # keep the VPU's gather pipeline fed (the sweep is gather-bound;
+            # docs/benchmarks.md). B is capped so the (chunk, B, K) live
+            # buffer stays ~64 MB.
+            deg_block = _deg_block(chunk, deg, k)
+
             def step(carry, i, nb_all=nb_all, wb_all=wb_all, chunk=chunk,
-                     n_chunks=n_chunks, row_off=row_off, deg=deg):
+                     n_chunks=n_chunks, row_off=row_off, deg=deg,
+                     deg_block=deg_block):
                 d_perm, changed = carry
                 idx = jnp.where(reverse, n_chunks - 1 - i, i)
                 nb = jax.lax.dynamic_slice(nb_all, (idx * chunk, 0),
@@ -253,11 +291,23 @@ def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
                 cur = jax.lax.dynamic_slice(
                     d_perm, (row_off + idx * chunk, 0), (chunk, k))
 
-                def relax_j(j, acc):
-                    cand = d_perm[nb[:, j]] + wb[:, j][:, None]  # (chunk, K)
-                    return jnp.minimum(acc, cand)
+                if deg_block > 1:
+                    nbb = nb.reshape(chunk, deg // deg_block, deg_block)
+                    wbb = wb.reshape(chunk, deg // deg_block, deg_block)
 
-                new = jax.lax.fori_loop(0, deg, relax_j, cur)
+                    def relax_j(j, acc):
+                        cand = (d_perm[nbb[:, j]]
+                                + wbb[:, j][:, :, None])  # (chunk, B, K)
+                        return jnp.minimum(acc, cand.min(axis=1))
+
+                    new = jax.lax.fori_loop(0, deg // deg_block, relax_j,
+                                            cur)
+                else:
+                    def relax_j(j, acc):
+                        cand = d_perm[nb[:, j]] + wb[:, j][:, None]
+                        return jnp.minimum(acc, cand)
+
+                    new = jax.lax.fori_loop(0, deg, relax_j, cur)
                 changed = jnp.logical_or(changed, jnp.any(new < cur))
                 d_perm = jax.lax.dynamic_update_slice(
                     d_perm, new, (row_off + idx * chunk, 0))

@@ -80,6 +80,18 @@ class Checkpointer:
             return self._ckptr.restore(path, target)
         return self._ckptr.restore(path)
 
+    def saved_keys(self, name: str) -> set:
+        """Top-level pytree keys stored in a checkpoint — lets callers pick
+        a restore target by the checkpoint's actual format instead of
+        probing with try/except (which would swallow real restore errors,
+        e.g. corruption or a shape mismatch from a changed config)."""
+        self.flush()
+        md = self._ckptr.metadata(self.dir / name)
+        tree = getattr(getattr(md, "item_metadata", md), "tree", None)
+        if isinstance(tree, dict):
+            return set(tree.keys())
+        return set()
+
     def exists(self, name: str) -> bool:
         self.flush()
         return (self.dir / name).exists()
