@@ -54,6 +54,7 @@ def _knn_block_impl(
     margin: int,
     recall: float,
     aggregate: bool = True,
+    sel_bf16: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     Qp, D = zq.shape
     Np = z.shape[0]
@@ -89,6 +90,12 @@ def _knn_block_impl(
             else:
                 d = qs[:, None] - 2.0 * dots + xs[None, :]
             d = jnp.where(xv[None, :], d, _INF)  # mask padded db rows
+            if sel_bf16:
+                # selection in bf16 halves the selection phase's bandwidth;
+                # the exact f32 re-rank below restores exact distances and
+                # ordering (misranked bf16 near-ties are covered by margin,
+                # recall re-validated by tools/bench_knn.py --recalls)
+                d = d.astype(jnp.bfloat16)
             if approx:
                 # TPU PartialReduce: ~10x cheaper than the full sort-based
                 # top_k; the exact re-rank below keeps reported distances
@@ -121,7 +128,8 @@ def _knn_block_impl(
             exact = 1.0 - (q[:, None, :] * cand).sum(-1)
         # padded db rows / unfilled PartialReduce slots carry +inf selection
         # values — mask them without another gather
-        exact = jnp.where(jnp.isfinite(all_d), exact, _INF)
+        exact = jnp.where(jnp.isfinite(all_d.astype(jnp.float32)), exact,
+                          _INF)
         neg_top, sel = jax.lax.top_k(-exact, k)
         best_d = jnp.where(qv[:, None], -neg_top, _INF)
         best_i = jnp.take_along_axis(all_i, sel, axis=1)
@@ -134,13 +142,13 @@ def _knn_block_impl(
 @functools.lru_cache(maxsize=32)
 def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
                   approx: bool, margin: int, recall: float,
-                  aggregate: bool = True):
+                  aggregate: bool = True, sel_bf16: bool = False):
     """Compiled block kernel; query-axis shard_map when a >1-device mesh is
     given, plain single-device jit otherwise."""
     impl = functools.partial(_knn_block_impl, k=k, metric=metric,
                              query_tile=query_tile, db_tile=db_tile,
                              approx=approx, margin=margin, recall=recall,
-                             aggregate=aggregate)
+                             aggregate=aggregate, sel_bf16=sel_bf16)
     if mesh is not None and len(mesh.devices.ravel()) > 1:
         from jax.sharding import PartitionSpec as P
 
@@ -238,7 +246,8 @@ def knn_search(
                 _round_up(query_block, block_align))
     fn = _build_knn_fn(mesh if n_shards > 1 else None, k, metric, query_tile,
                        db_tile, approx, margin, float(recall_target),
-                       bool(aggregate) or not approx)
+                       bool(aggregate) or not approx,
+                       os.environ.get("VQVAE_TPU_KNN_SELDTYPE") == "bf16")
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):
