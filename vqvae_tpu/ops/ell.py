@@ -228,7 +228,10 @@ def _deg_block(chunk: int, deg: int, k: int) -> int:
     if forced >= 1:
         b = forced
     else:
-        budget = 16 * 1024 * 1024  # f32 elements (~64 MB)
+        # budget tuned on v5e at 983k/K=512: (chunk 8192, B=2) ran the
+        # sweep at 103.9 GB/s vs 76.6 at B=1 and 100.5 at (4096, B=4) —
+        # docs/benchmarks.md "Round 3: ELL gather A/B"
+        budget = 10_000_000  # f32 elements (~40 MB live gather buffer)
         b = max(1, budget // max(chunk * k, 1))
     b = min(b, deg)
     while deg % b:  # caps are powers of two; keep the loop exact
@@ -241,7 +244,7 @@ def _row_chunk(n_rows: int) -> int:
     (env ``VQVAE_TPU_ELL_CHUNK`` overrides the 16384 cap)."""
     if n_rows <= 0:
         return 1
-    cap = int(os.environ.get("VQVAE_TPU_ELL_CHUNK", 16384))
+    cap = int(os.environ.get("VQVAE_TPU_ELL_CHUNK", 8192))
     c = 1
     while c < min(n_rows, cap):
         c *= 2
