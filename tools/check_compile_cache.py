@@ -49,14 +49,16 @@ def main():
 
     # shape depends on the tag -> distinct program per tag
     n = 4096 + 128 * (sum(ord(c) for c in args.tag) % 13)
-    x = jnp.asarray(np.random.RandomState(0).rand(n, 512).astype(np.float32))
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.rand(n, 512).astype(np.float32))
+    w = jnp.asarray(rs.rand(512, 512).astype(np.float32))
 
     @jax.jit
     def distinctive(x):
         # a few fused stages so the program is big enough to cache
         # (persistent cache skips sub-threshold compiles)
         for i in range(6):
-            x = jnp.tanh(x @ x.T[: x.shape[1]][:512] * 0.01 + i)
+            x = jnp.tanh(x @ w * 0.01 + i)
         return jnp.sort(x, axis=1)[:, -8:].sum()
 
     t0 = time.perf_counter()
