@@ -36,6 +36,20 @@ def test_checkpointer_best_latest_roundtrip(tmp_path):
         ck.restore("nope")
 
 
+def test_checkpointer_saved_keys_probe(tmp_path):
+    """Format probing for the resume path: full-state vs weights-only
+    checkpoints must be distinguishable WITHOUT a trial restore."""
+    ck = Checkpointer(tmp_path)
+    ck.save("latest", {"params": {"w": np.ones(3, np.float32)},
+                       "opt_state": {"mu": np.zeros(3, np.float32)},
+                       "step": 1, "epoch": 2})
+    assert {"params", "opt_state", "step", "epoch"} <= ck.saved_keys("latest")
+    ck.save("latest", {"params": {"w": np.ones(3, np.float32)},
+                       "step": 1, "epoch": 2})
+    keys = ck.saved_keys("latest")
+    assert "opt_state" not in keys and "params" in keys
+
+
 def test_auto_detect_vae_config():
     import jax
 
