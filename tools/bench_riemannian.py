@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--dim", type=int, default=16)
     ap.add_argument("--knn", type=int, default=10)
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batches", default=None,
+                    help="comma list of batch sizes to sweep (fused engine "
+                         "only), e.g. 4096,8192,16384 — one session")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--engines", default="nodal,edgewise",
                     help="comma list of: nodal, edgewise (unfused 2-JVP), "
@@ -76,6 +79,21 @@ def main():
 
     results = {}
     ref = None
+    if args.batches:
+        for bs in (int(x) for x in args.batches.split(",")):
+            times = []
+            for r in range(args.runs + 1):
+                t0 = time.perf_counter()
+                lengths = edge_lengths_riemannian(
+                    decode_fn, z[rows], z[cols], batch_size=bs, fused=True)
+                dt = time.perf_counter() - t0
+                if r > 0:
+                    times.append(dt)
+                print(f"[bs{bs}] run{r}: {dt:.1f}s", file=sys.stderr)
+            results[f"bs{bs}"] = round(min(times), 2)
+        print(json.dumps({"nodes": args.nodes, "edges": int(len(rows)),
+                          "results": results}))
+        return
     for engine in args.engines.split(","):
         times = []
         for r in range(args.runs + 1):  # run 0 = compile

@@ -1,3 +1,4 @@
+from .ivf import knn_search_ivf
 from .knn import knn_search
 from .graph import (
     build_knn_graph,
@@ -33,6 +34,7 @@ __all__ = [
     "nearest_codes",
     "geo_compat",
     "knn_search",
+    "knn_search_ivf",
     "build_knn_graph",
     "build_knn_graph_auto",
     "largest_connected_component",
