@@ -63,7 +63,13 @@ def build_codebook_main(cfg: Config) -> Path:
     graph_cfg = cfg.get("graph", Config({}))
     k = int(graph_cfg.get("k", cfg.get("k", 20)))
     sym = str(graph_cfg.get("sym", cfg.get("sym", "union")))
-    method = graph_cfg.get("method")  # None | "approx" | "host"
+    # default approx: PartialReduce candidate selection with exact f32
+    # re-rank — candidate recall 0.99983 measured at the 983k north-star
+    # shape (docs/benchmarks.md round-3 kNN), QE-flat downstream, ~5x the
+    # exact kernel. "exact" restores full exact selection.
+    method = graph_cfg.get("method", "approx")
+    if method == "exact":
+        method = None
     t0 = time.perf_counter()
     W_eu, _ = build_knn_graph_auto(z_flat, k=k, metric="euclidean",
                                    mode="connectivity", sym=sym,
