@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--recalls", default=None,
                     help="sweep approx recall_target values, e.g. "
                          "0.9,0.95,0.99 (reports recall vs the exact run)")
+    ap.add_argument("--pallas-cases", default=None,
+                    help="sweep the fused Pallas kernel: comma-separated "
+                         "rerank_tile x db_tile x bins cases, e.g. "
+                         "1024x2048x1024,1024x4096x1024 (reports recall vs "
+                         "an exact XLA run)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -97,6 +102,31 @@ def main():
             results[key] = {"seconds": round(min(times), 2),
                             "recall_vs_exact": round(rec, 5)}
             print(f"[{key}] {min(times):.2f}s recall={rec:.5f}",
+                  file=sys.stderr)
+    if args.pallas_cases:
+        import os
+
+        d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
+        ref_sets = [set(r) for r in i_ref]
+        for case in args.pallas_cases.split(","):
+            qt, dt, bins = (int(x) for x in case.split("x"))
+            os.environ["VQVAE_TPU_KNN_BINS"] = str(bins)
+            times = []
+            for r in range(args.runs + 1):  # run 0 = compile
+                t0 = time.perf_counter()
+                d, i = knn_search(z, k=args.k + 1, kernel="pallas",
+                                  query_tile=qt, db_tile=dt)
+                if r > 0:
+                    times.append(time.perf_counter() - t0)
+            rec = float(np.mean([len(ref_sets[q].intersection(i[q]))
+                                 / i.shape[1]
+                                 for q in range(0, len(i), 97)]))
+            key = f"pallas-{case}"
+            results[key] = {"seconds": round(min(times), 2),
+                            "recall_vs_exact": round(rec, 5),
+                            "self_ok": bool((d[:, 0] <= 1e-5).all())}
+            print(f"[{key}] {min(times):.2f}s (all runs: "
+                  f"{[round(t, 2) for t in times]}) recall={rec:.5f}",
                   file=sys.stderr)
     print(json.dumps({"nodes": args.nodes, "k": args.k, "results": results}))
 

@@ -40,6 +40,28 @@ import numpy as np
 _INF = jnp.float32(jnp.inf)
 
 
+def _exact_rerank(q, qv, all_d, all_i, z, k: int, metric: str):
+    """Exact f32 re-rank of stacked candidates for one query tile.
+
+    ``all_d`` carries the (approximate) selection values: non-finite entries
+    mark unfilled / padded candidate slots and are excluded. Returned
+    distances are exact for the returned indices.
+    """
+    cand = z[all_i]                                # (T, C, D)
+    if metric == "euclidean":
+        diff = q[:, None, :] - cand
+        exact = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
+    else:
+        exact = 1.0 - (q[:, None, :] * cand).sum(-1)
+    # padded db rows / unfilled selection slots carry +inf selection
+    # values — mask them without another gather
+    exact = jnp.where(jnp.isfinite(all_d.astype(jnp.float32)), exact, _INF)
+    neg_top, sel = jax.lax.top_k(-exact, k)
+    best_d = jnp.where(qv[:, None], -neg_top, _INF)
+    best_i = jnp.take_along_axis(all_i, sel, axis=1)
+    return best_d, best_i
+
+
 def _knn_block_impl(
     zq: jax.Array,           # (Qp, D) padded query block (local shard)
     z: jax.Array,            # (Np, D) padded database, replicated
@@ -120,35 +142,71 @@ def _knn_block_impl(
         all_d = cand_d.transpose(1, 0, 2).reshape(query_tile, n_dt * width)
         all_i = cand_i.transpose(1, 0, 2).reshape(query_tile, n_dt * width)
         # ONE exact f32 re-rank over every candidate from every tile
-        cand = z[all_i]                                # (T, C, D)
-        if metric == "euclidean":
-            diff = q[:, None, :] - cand
-            exact = jnp.sqrt(jnp.maximum((diff * diff).sum(-1), 0.0))
-        else:
-            exact = 1.0 - (q[:, None, :] * cand).sum(-1)
-        # padded db rows / unfilled PartialReduce slots carry +inf selection
-        # values — mask them without another gather
-        exact = jnp.where(jnp.isfinite(all_d.astype(jnp.float32)), exact,
-                          _INF)
-        neg_top, sel = jax.lax.top_k(-exact, k)
-        best_d = jnp.where(qv[:, None], -neg_top, _INF)
-        best_i = jnp.take_along_axis(all_i, sel, axis=1)
-        return None, (best_d, best_i)
+        return None, _exact_rerank(q, qv, all_d, all_i, z, k, metric)
 
     _, (dists, idxs) = jax.lax.scan(query_step, None, (zq_t, qv_t, q_sq_t))
+    return dists.reshape(Qp, k), idxs.reshape(Qp, k)
+
+
+def _knn_block_impl_fused(
+    zq: jax.Array,           # (Qp, D) padded query block (local shard)
+    z: jax.Array,            # (Np, D) padded database, replicated
+    row_valid: jax.Array,    # (Np,) bool: true db rows
+    q_row_valid: jax.Array,  # (Qp,) bool: true query rows (local shard)
+    *,
+    k: int,
+    metric: str,
+    query_tile: int,
+    db_tile: int,
+    bins: int,
+    margin: int,
+    interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused Pallas selection (ops/pallas_knn.py) + scanned exact re-rank."""
+    from .pallas_knn import CAND_LANES, fused_select
+
+    Qp = zq.shape[0]
+    sel_tile = 128 if Qp % 128 == 0 else Qp  # lane dim of the query block
+    bins = min(bins, db_tile)
+    while bins > 8 and db_tile % bins:  # bins must divide the db tile
+        bins //= 2
+    n_valid = jnp.sum(row_valid.astype(jnp.int32))
+    cand_d, cand_i = fused_select(
+        zq, z, n_valid, metric=metric, sel_tile=sel_tile, db_tile=db_tile,
+        bins=bins, k_sel=min(k + margin, CAND_LANES),
+        interpret=interpret)
+    n_qt = Qp // query_tile
+    zq_t = zq.reshape(n_qt, query_tile, -1)
+    qv_t = q_row_valid.reshape(n_qt, query_tile)
+    cd_t = cand_d.reshape(n_qt, query_tile, -1)
+    ci_t = cand_i.reshape(n_qt, query_tile, -1)
+
+    def step(_, inputs):
+        q, qv, ad, ai = inputs
+        return None, _exact_rerank(q, qv, ad, ai, z, k, metric)
+
+    _, (dists, idxs) = jax.lax.scan(step, None, (zq_t, qv_t, cd_t, ci_t))
     return dists.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
 @functools.lru_cache(maxsize=32)
 def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
                   approx: bool, margin: int, recall: float,
-                  aggregate: bool = True, sel_bf16: bool = False):
+                  aggregate: bool = True, sel_bf16: bool = False,
+                  kernel: str = "xla", bins: int = 1024,
+                  interpret: bool = False):
     """Compiled block kernel; query-axis shard_map when a >1-device mesh is
     given, plain single-device jit otherwise."""
-    impl = functools.partial(_knn_block_impl, k=k, metric=metric,
-                             query_tile=query_tile, db_tile=db_tile,
-                             approx=approx, margin=margin, recall=recall,
-                             aggregate=aggregate, sel_bf16=sel_bf16)
+    if kernel == "pallas":
+        impl = functools.partial(_knn_block_impl_fused, k=k, metric=metric,
+                                 query_tile=query_tile, db_tile=db_tile,
+                                 bins=bins, margin=margin,
+                                 interpret=interpret)
+    else:
+        impl = functools.partial(_knn_block_impl, k=k, metric=metric,
+                                 query_tile=query_tile, db_tile=db_tile,
+                                 approx=approx, margin=margin, recall=recall,
+                                 aggregate=aggregate, sel_bf16=sel_bf16)
     if mesh is not None and len(mesh.devices.ravel()) > 1:
         from jax.sharding import PartitionSpec as P
 
@@ -158,7 +216,11 @@ def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
             impl, mesh=mesh,
             in_specs=(P(DATA_AXIS, None), P(None, None), P(None),
                       P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)))
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata;
+            # the kernel is per-shard pure (no collectives), so the check
+            # adds nothing here
+            check_vma=(kernel != "pallas"))
     return jax.jit(impl)
 
 
@@ -174,6 +236,7 @@ def knn_search(
     recall_target: float | None = None,
     aggregate: bool | None = None,
     mesh=None,
+    kernel: str | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """All-pairs exact kNN: returns (distances, indices), each (N, k).
 
@@ -198,15 +261,27 @@ def knn_search(
 
     ``mesh``: optional `jax.sharding.Mesh`; shards the query axis across
     its devices (database replicated, no collectives).
+
+    ``kernel`` (env ``VQVAE_TPU_KNN_KERNEL``): ``"xla"`` — the scanned
+    XLA block kernel above; ``"pallas"`` — the fused Pallas selection
+    kernel (ops/pallas_knn.py; the distance stream never leaves VMEM,
+    ``approx``/``recall_target``/``aggregate`` do not apply). Both end in
+    the same exact f32 re-rank.
     """
+    if kernel is None:
+        kernel = os.environ.get("VQVAE_TPU_KNN_KERNEL", "xla")
+    if kernel not in ("xla", "pallas"):
+        raise ValueError(f"unknown kNN kernel {kernel!r}")
     if margin is None:
-        margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN", 4))
+        margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN",
+                                    8 if kernel == "pallas" else 4))
     if recall_target is None:
         recall_target = float(os.environ.get("VQVAE_TPU_KNN_RECALL", 0.95))
     if query_tile is None:
         query_tile = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
     if db_tile is None:
-        db_tile = int(os.environ.get("VQVAE_TPU_KNN_DT", 32768))
+        db_tile = int(os.environ.get(
+            "VQVAE_TPU_KNN_DT", 2048 if kernel == "pallas" else 32768))
     if aggregate is None:
         aggregate = os.environ.get("VQVAE_TPU_KNN_AGG", "1") == "1"
     z = np.asarray(z, dtype=np.float32)
@@ -247,7 +322,11 @@ def knn_search(
     fn = _build_knn_fn(mesh if n_shards > 1 else None, k, metric, query_tile,
                        db_tile, approx, margin, float(recall_target),
                        bool(aggregate) or not approx,
-                       os.environ.get("VQVAE_TPU_KNN_SELDTYPE") == "bf16")
+                       os.environ.get("VQVAE_TPU_KNN_SELDTYPE") == "bf16",
+                       kernel=kernel,
+                       bins=int(os.environ.get("VQVAE_TPU_KNN_BINS", 1024)),
+                       interpret=(kernel == "pallas"
+                                  and jax.default_backend() != "tpu"))
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):
