@@ -39,9 +39,9 @@ def main():
                          "0.9,0.95,0.99 (reports recall vs the exact run)")
     ap.add_argument("--pallas-cases", default=None,
                     help="sweep the fused Pallas kernel: comma-separated "
-                         "rerank_tile x db_tile x bins cases, e.g. "
-                         "1024x2048x1024,1024x4096x1024 (reports recall vs "
-                         "an exact XLA run)")
+                         "rerank_tile x db_tile x bins [x sel_tile] cases, "
+                         "e.g. 1024x2048x1024,1024x4096x1024x256 (reports "
+                         "recall vs an exact XLA run)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -109,8 +109,11 @@ def main():
         d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
         ref_sets = [set(r) for r in i_ref]
         for case in args.pallas_cases.split(","):
-            qt, dt, bins = (int(x) for x in case.split("x"))
+            parts = [int(x) for x in case.split("x")]
+            qt, dt, bins = parts[:3]
             os.environ["VQVAE_TPU_KNN_BINS"] = str(bins)
+            os.environ["VQVAE_TPU_KNN_SELTILE"] = str(
+                parts[3] if len(parts) > 3 else 128)
             times = []
             for r in range(args.runs + 1):  # run 0 = compile
                 t0 = time.perf_counter()

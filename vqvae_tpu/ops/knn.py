@@ -161,12 +161,17 @@ def _knn_block_impl_fused(
     bins: int,
     margin: int,
     interpret: bool,
+    # query rows per Pallas block: the db stream is re-read once per block,
+    # so larger tiles cut HBM traffic 1/sel_tile; VMEM scratch grows with
+    # sel_tile*bins (4 buffers) — 128 -> 2 MB, 512 -> 8 MB at bins=1024
+    sel_tile: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused Pallas selection (ops/pallas_knn.py) + scanned exact re-rank."""
     from .pallas_knn import CAND_LANES, fused_select
 
     Qp = zq.shape[0]
-    sel_tile = 128 if Qp % 128 == 0 else Qp  # lane dim of the query block
+    if Qp % sel_tile:
+        sel_tile = 128 if Qp % 128 == 0 else Qp
     bins = min(bins, db_tile)
     while bins > 8 and db_tile % bins:  # bins must divide the db tile
         bins //= 2
@@ -194,14 +199,14 @@ def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
                   approx: bool, margin: int, recall: float,
                   aggregate: bool = True, sel_bf16: bool = False,
                   kernel: str = "xla", bins: int = 1024,
-                  interpret: bool = False):
+                  interpret: bool = False, sel_tile: int = 128):
     """Compiled block kernel; query-axis shard_map when a >1-device mesh is
     given, plain single-device jit otherwise."""
     if kernel == "pallas":
         impl = functools.partial(_knn_block_impl_fused, k=k, metric=metric,
                                  query_tile=query_tile, db_tile=db_tile,
                                  bins=bins, margin=margin,
-                                 interpret=interpret)
+                                 interpret=interpret, sel_tile=sel_tile)
     else:
         impl = functools.partial(_knn_block_impl, k=k, metric=metric,
                                  query_tile=query_tile, db_tile=db_tile,
@@ -326,7 +331,9 @@ def knn_search(
                        kernel=kernel,
                        bins=int(os.environ.get("VQVAE_TPU_KNN_BINS", 1024)),
                        interpret=(kernel == "pallas"
-                                  and jax.default_backend() != "tpu"))
+                                  and jax.default_backend() != "tpu"),
+                       sel_tile=int(os.environ.get(
+                           "VQVAE_TPU_KNN_SELTILE", 128)))
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):

@@ -68,10 +68,15 @@ def _select_kernel(nv_ref, q_ref, x_ref, outd_ref, outi_ref,
     d = jnp.where(col < nv_ref[0, 0], d, _INF)  # mask padded db rows
 
     # binned top-2 update: slot = global row mod bins (the tile width is a
-    # multiple of bins, so slot == column within each bins-wide sub-block)
+    # multiple of bins, so slot == column within each bins-wide sub-block).
+    # `ids` is rebuilt per sub-block rather than sliced from `col`: Mosaic
+    # stores a dim-1 iota sublane-replicated (one vreg), and lane-slicing a
+    # replicated vector trips apply-vector-layout's extract_strided_slice
+    # check (limits 16 vs dim 1 SIGABRT on v5e).
     for s in range(db_tile // bins):
         ds = d[:, s * bins:(s + 1) * bins]
-        ids = col[:, s * bins:(s + 1) * bins]
+        ids = (jax.lax.broadcasted_iota(jnp.int32, (d.shape[0], bins), 1)
+               + (j * db_tile + s * bins))
         va1, va2, vi1, vi2 = a1[:], a2[:], i1[:], i2[:]
         lt1 = ds < va1
         lt2 = ds < va2
