@@ -92,6 +92,18 @@ def test_fused_env_kernel_select(monkeypatch):
     assert (i_fus == i_ref).all()
 
 
+def test_fused_sel_tile_invariance(monkeypatch):
+    # sel_tile changes only the Pallas block decomposition (db restream
+    # granularity), never results; it is part of the compiled-fn cache key,
+    # so flipping the env between calls must actually rebuild the kernel
+    z = _latents(1024, seed=7)
+    d_128, i_128 = knn_search(z, k=9, kernel="pallas")
+    monkeypatch.setenv("VQVAE_TPU_KNN_SELTILE", "256")
+    d_256, i_256 = knn_search(z, k=9, kernel="pallas")
+    np.testing.assert_allclose(d_256, d_128, rtol=1e-6, atol=1e-6)
+    assert (i_256 == i_128).all()
+
+
 def test_unknown_kernel_raises():
     with pytest.raises(ValueError):
         knn_search(_latents(64), k=3, kernel="cuda")

@@ -270,11 +270,18 @@ def knn_search(
     ``kernel`` (env ``VQVAE_TPU_KNN_KERNEL``): ``"xla"`` — the scanned
     XLA block kernel above; ``"pallas"`` — the fused Pallas selection
     kernel (ops/pallas_knn.py; the distance stream never leaves VMEM,
-    ``approx``/``recall_target``/``aggregate`` do not apply). Both end in
-    the same exact f32 re-rank.
+    ``recall_target``/``aggregate`` do not apply). Both end in the same
+    exact f32 re-rank. Unset, ``approx=True`` on a real TPU picks
+    ``"pallas"`` — measured at the 983k north-star shape it beats
+    ``approx_min_k`` selection on BOTH speed (16.5s vs 21.6s same
+    session) and candidate recall (0.99996 vs 0.99983); everything else
+    (exact requests, CPU/interpret hosts) picks ``"xla"``.
     """
     if kernel is None:
-        kernel = os.environ.get("VQVAE_TPU_KNN_KERNEL", "xla")
+        kernel = os.environ.get("VQVAE_TPU_KNN_KERNEL")
+    if kernel is None:
+        kernel = ("pallas" if approx and jax.default_backend() == "tpu"
+                  else "xla")
     if kernel not in ("xla", "pallas"):
         raise ValueError(f"unknown kNN kernel {kernel!r}")
     if margin is None:
@@ -285,8 +292,10 @@ def knn_search(
     if query_tile is None:
         query_tile = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
     if db_tile is None:
+        # pallas 4096: best of the 983k hardware sweep (16.5s vs 17.6s at
+        # 2048, docs/benchmarks.md round-3 Pallas kNN table)
         db_tile = int(os.environ.get(
-            "VQVAE_TPU_KNN_DT", 2048 if kernel == "pallas" else 32768))
+            "VQVAE_TPU_KNN_DT", 4096 if kernel == "pallas" else 32768))
     if aggregate is None:
         aggregate = os.environ.get("VQVAE_TPU_KNN_AGG", "1") == "1"
     z = np.asarray(z, dtype=np.float32)
