@@ -110,7 +110,11 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     # --- utilization ------------------------------------------------------
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))
     peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", 819))
-    knn_dt = int(os.environ.get("VQVAE_TPU_KNN_DT", 32768))
+    from vqvae_tpu.ops.knn import resolve_knn_kernel
+    knn_approx = os.environ.get("BENCH_KNN_APPROX", "1") == "1"
+    knn_kernel = resolve_knn_kernel(knn_approx)
+    knn_dt = int(os.environ.get(
+        "VQVAE_TPU_KNN_DT", 4096 if knn_kernel == "pallas" else 32768))
     knn_qt = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
     np_pad = ((n + knn_dt - 1) // knn_dt) * knn_dt  # kNN db pad
     knn_flops = 2.0 * n * np_pad * d
@@ -135,9 +139,10 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
         "relaxation_seconds_in_solver": round(ell_secs, 2),
         "qe": round(float(qe), 2),
         "lcc_nodes": int(mask.sum()),
-        "knn_mode": ("approx-partialreduce"
-                     if os.environ.get("BENCH_KNN_APPROX", "1") == "1"
-                     else "exact"),
+        "knn_mode": (("approx-pallas-fused" if knn_kernel == "pallas"
+                      else "approx-partialreduce")
+                     if knn_approx else "exact"),
+        "knn_kernel": knn_kernel,
     }
     log(f"[ours] knn={t_knn:.1f}s riemannian={t_riem:.1f}s "
         f"kmedoids={t_kmed:.1f}s total={total:.1f}s (K={len(medoids)}, "
@@ -297,6 +302,13 @@ def main() -> None:
     run_base = os.environ.get("BENCH_BASELINE", "1") == "1"
 
     import jax
+
+    # smoke-testing hook: the site bootstrap latches the TPU platform, so
+    # honor the same env the CLIs do (scripts/_common.py) BEFORE device use;
+    # unset -> real TPU (the driver's path)
+    plat = os.environ.get("VQVAE_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                os.path.expanduser("~/.cache/vqvae_tpu_xla"))

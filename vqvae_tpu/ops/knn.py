@@ -229,6 +229,24 @@ def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
     return jax.jit(impl)
 
 
+def resolve_knn_kernel(approx: bool, kernel: str | None = None) -> str:
+    """Resolve which selection kernel ``knn_search`` will run.
+
+    Precedence: explicit ``kernel`` arg > ``VQVAE_TPU_KNN_KERNEL`` env >
+    platform default (``"pallas"`` for approx requests on a real TPU,
+    ``"xla"`` otherwise). Exposed so callers that report measurements
+    (bench.py) can label the kernel that actually executed.
+    """
+    if kernel is None:
+        kernel = os.environ.get("VQVAE_TPU_KNN_KERNEL")
+    if kernel is None:
+        kernel = ("pallas" if approx and jax.default_backend() == "tpu"
+                  else "xla")
+    if kernel not in ("xla", "pallas"):
+        raise ValueError(f"unknown kNN kernel {kernel!r}")
+    return kernel
+
+
 def knn_search(
     z: np.ndarray | jax.Array,
     k: int,
@@ -277,13 +295,7 @@ def knn_search(
     session) and candidate recall (0.99996 vs 0.99983); everything else
     (exact requests, CPU/interpret hosts) picks ``"xla"``.
     """
-    if kernel is None:
-        kernel = os.environ.get("VQVAE_TPU_KNN_KERNEL")
-    if kernel is None:
-        kernel = ("pallas" if approx and jax.default_backend() == "tpu"
-                  else "xla")
-    if kernel not in ("xla", "pallas"):
-        raise ValueError(f"unknown kNN kernel {kernel!r}")
+    kernel = resolve_knn_kernel(approx, kernel)
     if margin is None:
         margin = int(os.environ.get("VQVAE_TPU_KNN_MARGIN",
                                     8 if kernel == "pallas" else 4))
