@@ -53,6 +53,49 @@ def test_knn_matches_sklearn(random_latents):
     assert overlap > 0.999
 
 
+def _scipy_assemble(dists, idxs, n, mode, sym):
+    from scipy import sparse
+
+    data = (dists.ravel() if mode == "distance"
+            else np.ones(dists.size, np.float32))
+    rows = np.repeat(np.arange(n), idxs.shape[1])
+    W = sparse.csr_matrix((data.astype(np.float32), (rows, idxs.ravel())),
+                          shape=(n, n))
+    W = W.minimum(W.T) if sym == "mutual" else W.maximum(W.T)
+    W.setdiag(0.0)
+    W.eliminate_zeros()
+    return W
+
+
+@pytest.mark.parametrize("mode", ["distance", "connectivity"])
+@pytest.mark.parametrize("sym", ["union", "mutual"])
+def test_knn_assemble_matches_scipy(mode, sym):
+    rng = np.random.default_rng(0)
+    n, k = 400, 7
+    z = rng.normal(size=(n, 8)).astype(np.float32)
+    z[50] = z[10]  # exact duplicate -> a zero-distance edge
+    z[51] = z[10]
+    from vqvae_tpu.ops.knn import knn_search
+
+    dists, idxs = knn_search(z, k)
+    ours = native.knn_assemble(dists, idxs, n, mode, sym)
+    ref = _scipy_assemble(dists, idxs, n, mode, sym)
+    assert (ours != ref).nnz == 0
+    np.testing.assert_array_equal(ours.indptr, ref.tocsr().indptr)
+
+
+def test_knn_assemble_self_and_padding():
+    # self-matches in the neighbor lists and -1 padding are both dropped
+    idxs = np.array([[0, 1, -1], [1, 0, 2], [2, 1, -1]], np.int64)
+    dists = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 2.0], [0.0, 2.0, 0.0]],
+                     np.float32)
+    W = native.knn_assemble(dists, idxs, 3, "distance", "union")
+    assert W.diagonal().sum() == 0
+    assert W[0, 1] == 1.0 and W[1, 0] == 1.0
+    assert W[1, 2] == 2.0 and W[2, 1] == 2.0
+    assert W.nnz == 4
+
+
 def test_threaded_multi_source_consistency(random_latents):
     from vqvae_tpu.ops import build_knn_graph
 

@@ -59,6 +59,10 @@ def _load() -> ctypes.CDLL:
         i32p, f32p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, i32p, f32p, ctypes.c_int]
     lib.vq_ell_fill_bucket.restype = None
+    lib.vq_knn_assemble.argtypes = [
+        i64p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, i64p, i32p, f32p, ctypes.c_int]
+    lib.vq_knn_assemble.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -147,6 +151,32 @@ def ell_fill_bucket(src_rows: np.ndarray, w: np.ndarray, starts: np.ndarray,
         len(starts), n_pad, cap, _ptr(nb, ctypes.c_int32),
         _ptr(wb, ctypes.c_float), _threads())
     return nb, wb
+
+
+def knn_assemble(dists: np.ndarray, idxs: np.ndarray, n: int, mode: str,
+                 sym: str):
+    """Symmetrized kNN CSR adjacency straight from the search result —
+    scipy-identical semantics (see vq_knn_assemble in graph_core.cpp) in
+    one native pass instead of coo->csr + maximum/minimum(W.T) +
+    setdiag + eliminate_zeros."""
+    from scipy import sparse
+
+    lib = _load()
+    idxs = np.ascontiguousarray(idxs, np.int64)
+    dists = np.ascontiguousarray(dists, np.float32)
+    k = idxs.shape[1] if idxs.ndim == 2 else 0
+    indptr = np.empty(n + 1, np.int64)
+    cap = 2 * n * k
+    cols = np.empty(cap, np.int32)
+    w = np.empty(cap, np.float32)
+    nnz = lib.vq_knn_assemble(
+        _ptr(idxs, ctypes.c_int64), _ptr(dists, ctypes.c_float), n, k,
+        1 if mode == "distance" else 0, 1 if sym == "mutual" else 0,
+        _ptr(indptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
+        _ptr(w, ctypes.c_float), _threads())
+    return sparse.csr_matrix(
+        (w[:nnz].copy(), cols[:nnz].copy(), indptr.astype(np.int32)),
+        shape=(n, n))
 
 
 def available() -> bool:

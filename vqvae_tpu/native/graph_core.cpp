@@ -176,6 +176,106 @@ void vq_ell_fill_bucket(const int32_t* src_rows, const float* w,
   });
 }
 
+// Assemble the symmetrized kNN CSR adjacency directly from the search
+// result (idx (n,k) int64, dist (n,k) f32) — replaces the scipy
+// coo->csr + maximum/minimum(W.T) + setdiag + eliminate_zeros chain
+// (ops/graph.py:_assemble), which is ~8 s of single-core passes at 10M+
+// edges on this host. Semantics match scipy exactly:
+//   union  -> elementwise max with the transpose (missing = 0)
+//   mutual -> elementwise min with the transpose (edge survives only if
+//             present in BOTH directed lists)
+//   self edges (i==j) and zero weights are dropped (setdiag(0) +
+//   eliminate_zeros); negative idx entries are treated as padding.
+// Each directed edge appears at most once per row (top-k indices are
+// unique), so a (i,j) pair occurs 1 or 2 times in the doubled list.
+// out_cols/out_w must have capacity 2*n*k; indptr has n+1 slots.
+// Returns nnz.
+int64_t vq_knn_assemble(const int64_t* idx, const float* dist, int64_t n,
+                        int64_t k, int mode_distance, int sym_mutual,
+                        int64_t* indptr, int32_t* out_cols, float* out_w,
+                        int threads) {
+  // pass 1: per-row entry counts of the doubled (edge + transpose) list
+  std::vector<int64_t> off(n + 1, 0);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t e = 0; e < k; ++e) {
+      const int64_t j = idx[i * k + e];
+      if (j < 0 || j == i) continue;
+      ++off[i + 1];
+      ++off[j + 1];
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) off[i + 1] += off[i];
+  const int64_t m = off[n];
+
+  // pass 2: scatter (col, weight) into per-row segments. The transposed
+  // half of the writes hits random rows, so keep col+weight interleaved
+  // in ONE struct array — one random cache line per entry, not two.
+  struct Entry {
+    int32_t col;
+    float w;
+  };
+  std::vector<Entry> tmp(m);
+  std::vector<int64_t> cur(off.begin(), off.begin() + n);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t e = 0; e < k; ++e) {
+      const int64_t j = idx[i * k + e];
+      if (j < 0 || j == i) continue;
+      const float w = mode_distance ? dist[i * k + e] : 1.0f;
+      tmp[cur[i]++] = {static_cast<int32_t>(j), w};
+      tmp[cur[j]++] = {static_cast<int32_t>(i), w};
+    }
+  }
+
+  // pass 3: per-row sort + dedupe (threaded over row blocks), compacting
+  // each segment in place and recording the surviving length
+  std::vector<int64_t> row_len(n, 0);
+  const int64_t block = 4096;
+  const int64_t n_blocks = (n + block - 1) / block;
+  run_threaded(n_blocks, threads, [&](int64_t b) {
+    const int64_t lo = b * block, hi = std::min(n, lo + block);
+    for (int64_t r = lo; r < hi; ++r) {
+      const int64_t s = off[r], len = off[r + 1] - s;
+      Entry* seg = tmp.data() + s;
+      std::sort(seg, seg + len,
+                [](const Entry& a, const Entry& b) { return a.col < b.col; });
+      int64_t w_at = 0;
+      for (int64_t t = 0; t < len;) {
+        int64_t u = t + 1;
+        float wmin = seg[t].w, wmax = seg[t].w;
+        while (u < len && seg[u].col == seg[t].col) {
+          wmin = std::min(wmin, seg[u].w);
+          wmax = std::max(wmax, seg[u].w);
+          ++u;
+        }
+        const bool both_ways = (u - t) >= 2;
+        const float w = sym_mutual ? wmin : wmax;
+        if ((!sym_mutual || both_ways) && w != 0.0f) {
+          seg[w_at++] = {seg[t].col, w};
+        }
+        t = u;
+      }
+      row_len[r] = w_at;
+    }
+  });
+
+  // pass 4: final indptr + compact split copy into the output arrays
+  indptr[0] = 0;
+  for (int64_t r = 0; r < n; ++r) indptr[r + 1] = indptr[r] + row_len[r];
+  run_threaded(n_blocks, threads, [&](int64_t b) {
+    const int64_t lo = b * block, hi = std::min(n, lo + block);
+    for (int64_t r = lo; r < hi; ++r) {
+      const Entry* seg = tmp.data() + off[r];
+      int32_t* oc = out_cols + indptr[r];
+      float* ow = out_w + indptr[r];
+      for (int64_t t = 0; t < row_len[r]; ++t) {
+        oc[t] = seg[t].col;
+        ow[t] = seg[t].w;
+      }
+    }
+  });
+  return indptr[n];
+}
+
 // Exact kNN (euclidean), blocked over queries, threaded. Self-matches are
 // included (distance 0), mirroring the device kernel's contract.
 // dists/idx have shape (n, k) row-major.

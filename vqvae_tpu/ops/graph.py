@@ -21,6 +21,17 @@ from .knn import knn_search
 
 def _assemble(distances: np.ndarray, indices: np.ndarray, n: int,
               mode: str, sym: str) -> sparse.csr_matrix:
+    if distances.size >= 1_000_000:
+        # one native pass instead of 4 single-core scipy passes (~8 s ->
+        # ~1 s at 10M edges on this host); scipy below stays as the
+        # small-graph path and the oracle (tests/test_knn_graph.py)
+        try:
+            from .. import native
+
+            if native.available():
+                return native.knn_assemble(distances, indices, n, mode, sym)
+        except ImportError:
+            pass
     data = distances.ravel() if mode == "distance" else np.ones(distances.size, np.float32)
     rows = np.repeat(np.arange(n), indices.shape[1])
     cols = indices.ravel()
