@@ -84,6 +84,21 @@ def test_knn_assemble_matches_scipy(mode, sym):
     np.testing.assert_array_equal(ours.indptr, ref.tocsr().indptr)
 
 
+@pytest.mark.parametrize("sym", ["union", "mutual"])
+def test_build_knn_graph_native_routing(monkeypatch, sym):
+    # force the native assembly path through the public builder and pin it
+    # against the scipy path on the same input
+    rng = np.random.default_rng(1)
+    z = rng.normal(size=(500, 6)).astype(np.float32)
+    from vqvae_tpu.ops import build_knn_graph
+
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", "1")
+    W_native, _ = build_knn_graph(z, k=6, sym=sym)
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", str(10**12))
+    W_scipy, _ = build_knn_graph(z, k=6, sym=sym)
+    assert (W_native != W_scipy).nnz == 0
+
+
 def test_knn_assemble_self_and_padding():
     # self-matches in the neighbor lists and -1 padding are both dropped
     idxs = np.array([[0, 1, -1], [1, 0, 2], [2, 1, -1]], np.int64)

@@ -19,9 +19,18 @@ from scipy.sparse.csgraph import connected_components
 from .knn import knn_search
 
 
+def _native_assemble_min() -> int:
+    """Directed-entry count above which CSR assembly routes to the native
+    one-pass kernel (env ``VQVAE_TPU_ASSEMBLE_NATIVE_MIN``; tests set it
+    low to exercise the routed path on small graphs)."""
+    import os
+
+    return int(os.environ.get("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", 1_000_000))
+
+
 def _assemble(distances: np.ndarray, indices: np.ndarray, n: int,
               mode: str, sym: str) -> sparse.csr_matrix:
-    if distances.size >= 1_000_000:
+    if distances.size >= _native_assemble_min():
         # one native pass instead of 4 single-core scipy passes (~8 s ->
         # ~1 s at 10M edges on this host); scipy below stays as the
         # small-graph path and the oracle (tests/test_knn_graph.py)
