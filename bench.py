@@ -29,7 +29,9 @@ Scale knobs (env):
                  cells; BENCH_NODES=196608 reproduces the round-1/2 shape)
   BENCH_KNN      kNN k                      (default 10)
   BENCH_CODES    codebook size K            (default 512)
-  BENCH_RUNS     measured runs for ours     (default 3; 2 at >=500k nodes)
+  BENCH_RUNS     measured runs for ours     (default 3 at every shape: the
+                 weather band swings single reps ~1.6x and a median of 2
+                 is an average — see the comment in main())
   BENCH_KNN_APPROX  0/1 (default 1: PartialReduce candidate selection,
                  measured recall 0.9995+ vs exact — the production
                  fullscale default; 0 forces exact selection)

@@ -70,6 +70,14 @@ def build_codebook_main(cfg: Config) -> Path:
     method = graph_cfg.get("method", "approx")
     if method == "exact":
         method = None
+    from ..ops.knn import resolve_knn_kernel
+
+    resolved = ("exact" if method is None else
+                f"approx ({resolve_knn_kernel(True)} kernel)")
+    print(f"[codebook] kNN selection: {resolved} "
+          f"(graph.method={'exact' if method is None else method}; "
+          f"default changed to approx in round 3 — set graph.method: exact "
+          f"for the reference's exact selection)")
     t0 = time.perf_counter()
     W_eu, _ = build_knn_graph_auto(z_flat, k=k, metric="euclidean",
                                    mode="connectivity", sym=sym,

@@ -174,6 +174,10 @@ def knn_assemble(dists: np.ndarray, idxs: np.ndarray, n: int, mode: str,
         1 if mode == "distance" else 0, 1 if sym == "mutual" else 0,
         _ptr(indptr, ctypes.c_int64), _ptr(cols, ctypes.c_int32),
         _ptr(w, ctypes.c_float), _threads())
+    if nnz > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"symmetrized kNN graph has {nnz} nonzeros — exceeds int32 CSR "
+            f"index range; this path needs int64 indices")
     return sparse.csr_matrix(
         (w[:nnz].copy(), cols[:nnz].copy(), indptr.astype(np.int32)),
         shape=(n, n))

@@ -40,7 +40,7 @@ def make_decoder_image_fn(model, variables, topology: str) -> Callable:
 
 
 @functools.lru_cache(maxsize=16)
-def _build_lengths_fn(mesh, decode_fn, fused: bool):
+def _build_lengths_fn(mesh, decode_fn, fused: bool, latent_ndim: int = 1):
     """Compiled chunked edge-length kernel.
 
     ``mesh``: >1-device meshes shard the chunk axis with ``shard_map``
@@ -73,7 +73,10 @@ def _build_lengths_fn(mesh, decode_fn, fused: bool):
 
         from ..parallel.mesh import DATA_AXIS
 
-        spec = P(DATA_AXIS, *([None] * 2))
+        # chunk inputs are (n_chunks, bs, *latent_shape): shard the chunk
+        # axis only, replicate the rest whatever the latent rank (spatial
+        # latents are rank>2; a fixed rank-3 spec would fail in shard_map)
+        spec = P(DATA_AXIS, *([None] * (latent_ndim + 1)))
         impl = jax.shard_map(impl, mesh=mesh, in_specs=(spec, spec),
                              out_specs=P(DATA_AXIS, None))
     return jax.jit(impl)
@@ -243,6 +246,6 @@ def edge_lengths_riemannian(
     za = jnp.asarray(z_start).reshape(n_chunks, bs, *z_start.shape[1:])
     zb = jnp.asarray(z_end).reshape(n_chunks, bs, *z_end.shape[1:])
     fn = _build_lengths_fn(mesh if n_shards > 1 else None, decode_fn,
-                           bool(fused))
+                           bool(fused), latent_ndim=z_start.ndim - 1)
     out = fn(za, zb)
     return np.asarray(out).reshape(e_pad)[:e].astype(np.float32)

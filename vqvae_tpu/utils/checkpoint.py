@@ -90,7 +90,12 @@ class Checkpointer:
         tree = getattr(getattr(md, "item_metadata", md), "tree", None)
         if isinstance(tree, dict):
             return set(tree.keys())
-        return set()
+        # metadata API shape drift (orbax version skew): surface it rather
+        # than return set() — callers would misread a full-state checkpoint
+        # as weights-only and drop optimizer state on resume
+        raise RuntimeError(
+            f"cannot read checkpoint metadata tree for {self.dir / name} "
+            f"(got {type(tree).__name__}); orbax metadata format drift?")
 
     def exists(self, name: str) -> bool:
         self.flush()
