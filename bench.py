@@ -53,6 +53,7 @@ import numpy as np
 
 os.environ.setdefault("OMP_NUM_THREADS", "8")  # pin baseline threading
 os.environ["VQVAE_TPU_ELL_STATS"] = "1"
+os.environ["VQVAE_TPU_RIEM_STATS"] = "1"
 
 
 def log(msg: str) -> None:
@@ -78,12 +79,14 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     from vqvae_tpu.ops import (build_knn_graph, edge_lengths_riemannian_auto,
                                fit_kmedoids, largest_connected_component)
     from vqvae_tpu.ops.ell import ELL_STATS
+    from vqvae_tpu.ops.riemannian import RIEM_STATS
 
     from vqvae_tpu.parallel import get_mesh
 
     mesh = get_mesh()
     n, d = z.shape
     stats_start = len(ELL_STATS)
+    riem_start = len(RIEM_STATS)
     t0 = time.perf_counter()
     W, _ = build_knn_graph(z, k=k, metric="euclidean", mode="connectivity",
                            sym="union",
@@ -128,12 +131,23 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     ell_bytes = sum(e["bytes"] for e in ell)
     ell_secs = sum(e["seconds"] for e in ell)
     ell_gbps = ell_bytes / max(ell_secs, 1e-9) / 1e9
+    # Riemannian roofline: analytic decoder-JVP FLOPs of the engine that
+    # actually ran (mlp: exact matmul count; edgewise: dense-executed
+    # input-dilated deconv count) over the fused 2E-sample batch
+    riem = RIEM_STATS[riem_start:]
+    riem_flops = sum(r["samples"] * (r["jvp_flops_per_sample"] or 0)
+                     for r in riem)
+    riem_secs = sum(r["seconds"] for r in riem)
+    riem_tflops = riem_flops / max(riem_secs, 1e-9) / 1e12
     detail = {
         "stage_seconds": {"knn": round(t_knn, 2), "riemannian": round(t_riem, 2),
                           "kmedoids": round(t_kmed, 2)},
         "knn_achieved_tflops": round(knn_tflops, 2),
         "knn_pct_mxu_peak": round(100 * knn_tflops / peak_tflops, 2),
         "knn_stream_gbps": round(knn_gbps, 1),
+        "riem_engine": riem[-1]["engine"] if riem else None,
+        "riem_achieved_tflops": round(riem_tflops, 2),
+        "riem_pct_mxu_peak": round(100 * riem_tflops / peak_tflops, 2),
         "relaxation_gbps": round(ell_gbps, 1),
         "relaxation_pct_hbm_peak": round(100 * ell_gbps / peak_gbps, 1),
         "relaxation_passes": len(ell),
@@ -149,7 +163,8 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     log(f"[ours] knn={t_knn:.1f}s riemannian={t_riem:.1f}s "
         f"kmedoids={t_kmed:.1f}s total={total:.1f}s (K={len(medoids)}, "
         f"qe={qe:.1f}, sweeps={detail['relaxation_sweeps']}, "
-        f"relax={ell_gbps:.0f}GB/s, knn={knn_tflops:.1f}TF)")
+        f"relax={ell_gbps:.0f}GB/s, knn={knn_tflops:.1f}TF, "
+        f"riem={detail['riem_engine']}@{riem_tflops:.1f}TF)")
     return total, detail
 
 

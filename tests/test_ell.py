@@ -58,3 +58,50 @@ def test_skewed_degrees():
     W = W.maximum(W.T)
     ref = dijkstra(W, directed=False, indices=[5])
     np.testing.assert_allclose(_ours(W, [5]), ref, atol=1e-6)
+
+
+def test_active_skipping_identical_to_full(random_latents, monkeypatch):
+    """Chunk-level frontier skipping must reach the exact full-relaxation
+    fixed point — cold start and warm start."""
+    from vqvae_tpu.ops import build_knn_graph
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    g = BucketedGraph.from_csr(W)
+    sources = np.asarray([3, 71, 150])
+
+    monkeypatch.setenv("VQVAE_TPU_ELL_ACTIVE", "0")
+    full = np.asarray(multi_source_shortest_paths_ell(g, sources))
+    monkeypatch.setenv("VQVAE_TPU_ELL_ACTIVE", "1")
+    act = np.asarray(multi_source_shortest_paths_ell(g, sources))
+    np.testing.assert_array_equal(act, full)
+
+    # warm start from a valid upper bound (distances from a superset pass)
+    import jax.numpy as jnp
+
+    # valid warm start: per-entry UPPER bounds (inflated true distances,
+    # inf stays inf for disconnected pairs, sources pinned to 0)
+    d0_np = full * 1.2 + 0.3
+    d0_np[sources, np.arange(len(sources))] = 0.0
+    warm_act = np.asarray(multi_source_shortest_paths_ell(
+        g, sources, d0=jnp.asarray(d0_np)))
+    monkeypatch.setenv("VQVAE_TPU_ELL_ACTIVE", "0")
+    warm_full = np.asarray(multi_source_shortest_paths_ell(
+        g, sources, d0=jnp.asarray(d0_np)))
+    np.testing.assert_array_equal(warm_act, warm_full)
+    np.testing.assert_allclose(warm_act, full, atol=1e-6)
+
+
+def test_active_stats_record_skips(random_latents, monkeypatch):
+    from vqvae_tpu.ops import build_knn_graph
+    from vqvae_tpu.ops.ell import ELL_STATS
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    g = BucketedGraph.from_csr(W)
+    monkeypatch.setenv("VQVAE_TPU_ELL_STATS", "1")
+    monkeypatch.setenv("VQVAE_TPU_ELL_ACTIVE", "1")
+    n0 = len(ELL_STATS)
+    multi_source_shortest_paths_ell(g, np.asarray([0, 50]))
+    rec = ELL_STATS[n0:][-1]
+    assert rec["chunk_visits"] >= rec["chunk_relaxed"] > 0
+    assert 0 < rec["active_frac"] <= 1
+    assert rec["bytes"] > 0

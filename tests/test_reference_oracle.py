@@ -122,3 +122,31 @@ def test_exact_kpp_matches_reference_stack():
     _, _, qe = fit_kmedoids(W, K=K, init="kpp", seed=7, backend="device",
                             assume_symmetric=True)
     assert qe / ref_qe <= 1.05, (qe, ref_qe)
+
+
+@__import__("pytest").mark.slow
+def test_kmedoids_matches_reference_stack_midscale():
+    """VERDICT r3 item 5: one scale step up (196k nodes, K=64) — the
+    largest direct ours-vs-reference QE comparison. Same calibrated-band
+    protocol as the 16k case; the sequential reference loop is the cost
+    (63 + 64 single-source Dijkstras at 196k)."""
+    z = _make_latents(196_608, seed=0)
+    W, _ = build_knn_graph(z, k=10, metric="euclidean", mode="distance",
+                           sym="union")
+    K = 64
+
+    ref_centers, ref_assign, ref_qe = _reference_kmedoids(W, K, seed=42)
+    medoids, assign, qe = fit_kmedoids(W, K=K, init="kpp_parallel", seed=42,
+                                       backend="device",
+                                       assume_symmetric=True)
+    assert len(medoids) == K
+    assert np.isfinite(qe) and np.isfinite(ref_qe)
+    assert qe / ref_qe <= 1.03, (qe, ref_qe)
+
+    _, ref2_assign, _ = _reference_kmedoids(W, K, seed=7)
+    band_agree = _pair_agreement(ref_assign, ref2_assign, n_pairs=200_000)
+    band_co = _co_recall(ref_assign, ref2_assign)
+    agree = _pair_agreement(ref_assign, assign, n_pairs=200_000)
+    co = _co_recall(ref_assign, assign)
+    assert agree >= band_agree - 0.02, (agree, band_agree)
+    assert co >= 0.85 * band_co, (co, band_co)

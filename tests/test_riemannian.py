@@ -178,3 +178,134 @@ def test_sharded_rank3_spatial_latents():
     sharded = edge_lengths_riemannian(decode, za, zb, batch_size=8,
                                       mesh=get_mesh(8))
     np.testing.assert_allclose(sharded, ref, rtol=1e-5, atol=1e-6)
+
+
+# ---- linearized (MLP) spatial decoder engine --------------------------------
+
+def _spatial_vae(norm="batch", out_size=28, dec=(16, 12, 8), lat=4):
+    from vqvae_tpu.models import VAE
+
+    model = VAE(in_channels=1, latent_dim=lat, topology="spatial",
+                output_image_size=out_size, norm_type=norm, recon_loss="mse",
+                enc_channels=(8, 12, 16), dec_channels=dec)
+    variables = model.init({"params": jax.random.key(0)},
+                           np.zeros((1, out_size, out_size, 1), np.float32))
+    # randomize batch_stats + norm affine so batch norm is not a no-op
+    rng = np.random.RandomState(7)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.uniform(0.2, 1.5, x.shape)
+                              .astype(np.float32)) if x.ndim == 1 else x,
+        variables)
+    return model, variables
+
+
+@pytest.mark.parametrize("norm,out_size", [("batch", 28), ("none", 28),
+                                           ("batch", 32)])
+def test_mlp_decode_matches_conv_decode(norm, out_size):
+    """The probed affine-segment decoder is the SAME map as the conv
+    decoder on 1x1 latent grids (float association aside)."""
+    from vqvae_tpu.ops import build_mlp_decode_fn
+    from vqvae_tpu.ops.riemannian import make_decoder_image_fn
+
+    model, variables = _spatial_vae(norm=norm, out_size=out_size)
+    conv_fn = make_decoder_image_fn(model, variables, "spatial")
+    mlp_fn = build_mlp_decode_fn(model, variables)
+    assert mlp_fn is not None
+    z = np.random.RandomState(1).randn(33, 4).astype(np.float32)
+    ref = np.asarray(conv_fn(jnp.asarray(z)))
+    got = np.asarray(mlp_fn(jnp.asarray(z)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mlp_unsupported_configs():
+    from vqvae_tpu.models import VAE
+    from vqvae_tpu.ops import build_mlp_decode_fn
+
+    model, variables = _spatial_vae(norm="group")
+    assert build_mlp_decode_fn(model, variables) is None
+    flat = VAE(in_channels=1, latent_dim=4, topology="flat",
+               output_image_size=28, enc_channels=(8, 12, 16),
+               dec_channels=(16, 12, 8))
+    fvars = flat.init({"params": jax.random.key(0)},
+                      np.zeros((1, 28, 28, 1), np.float32))
+    assert build_mlp_decode_fn(flat, fvars) is None
+
+
+def test_auto_engine_mlp_matches_edgewise(monkeypatch):
+    """auto routes spatial decoders through the linearized engine; the
+    lengths must match the forced conv edgewise path."""
+    from vqvae_tpu.ops import edge_lengths_riemannian_auto
+    from vqvae_tpu.ops.riemannian import RIEM_STATS, make_decoder_image_fn
+
+    model, variables = _spatial_vae()
+    decode_fn = make_decoder_image_fn(model, variables, "spatial")
+    rng = np.random.RandomState(2)
+    z = rng.randn(60, 4).astype(np.float32)
+    rows = rng.randint(0, 60, size=200)
+    cols = rng.randint(0, 60, size=200)
+    monkeypatch.setenv("VQVAE_TPU_RIEM_STATS", "1")
+    n0 = len(RIEM_STATS)
+    auto = edge_lengths_riemannian_auto(decode_fn, z, rows, cols,
+                                        batch_size=64)
+    monkeypatch.setenv("VQVAE_TPU_RIEMANNIAN", "edgewise")
+    edge = edge_lengths_riemannian_auto(decode_fn, z, rows, cols,
+                                        batch_size=64)
+    np.testing.assert_allclose(auto, edge, rtol=1e-4, atol=1e-5)
+    stats = RIEM_STATS[n0:]
+    assert [s["engine"] for s in stats] == ["mlp", "edgewise"]
+    assert all(s["samples"] == 400 for s in stats)
+    assert all(s["jvp_flops_per_sample"] and s["jvp_flops_per_sample"] > 0
+               for s in stats)
+    # the linearized engine needs strictly fewer FLOPs than the conv path
+    assert stats[0]["jvp_flops_per_sample"] < stats[1]["jvp_flops_per_sample"]
+
+
+def test_engine_mlp_forced_raises_when_unsupported(monkeypatch):
+    from vqvae_tpu.ops import edge_lengths_riemannian_auto
+    from vqvae_tpu.ops.riemannian import make_decoder_image_fn
+
+    model, variables = _spatial_vae(norm="group")
+    decode_fn = make_decoder_image_fn(model, variables, "spatial")
+    z = np.random.RandomState(3).randn(10, 4).astype(np.float32)
+    monkeypatch.setenv("VQVAE_TPU_RIEMANNIAN", "mlp")
+    with pytest.raises(ValueError, match="cannot be linearized"):
+        edge_lengths_riemannian_auto(decode_fn, z, np.arange(5),
+                                     np.arange(5, 10), batch_size=8)
+    # auto falls back to edgewise silently
+    monkeypatch.setenv("VQVAE_TPU_RIEMANNIAN", "auto")
+    out = edge_lengths_riemannian_auto(decode_fn, z, np.arange(5),
+                                       np.arange(5, 10), batch_size=8)
+    assert out.shape == (5,)
+
+
+def test_indexed_matches_preformed(linear_decode_fn):
+    """Device-side endpoint gathers are exactly the preformed-endpoint
+    computation, sharded or not."""
+    from vqvae_tpu.ops import (edge_lengths_riemannian,
+                               edge_lengths_riemannian_indexed)
+    from vqvae_tpu.parallel import get_mesh
+
+    decode, _ = linear_decode_fn
+    rng = np.random.RandomState(4)
+    z = rng.randn(50, 4).astype(np.float32)
+    rows = rng.randint(0, 50, size=170)
+    cols = rng.randint(0, 50, size=170)
+    ref = edge_lengths_riemannian(decode, z[rows], z[cols], batch_size=32)
+    got = edge_lengths_riemannian_indexed(decode, z, rows, cols,
+                                          batch_size=32)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+    sharded = edge_lengths_riemannian_indexed(decode, z, rows, cols,
+                                              batch_size=32,
+                                              mesh=get_mesh(8))
+    np.testing.assert_allclose(sharded, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_conv_flops_accounting():
+    from vqvae_tpu.ops.riemannian import conv_decoder_jvp_flops_per_sample
+
+    model, _ = _spatial_vae(dec=(16, 12, 8), lat=4)
+    # 1x1 conv_in: 4*16; ct1 (out 2x2): 4*16*16*12; ct2 (out 4x4):
+    # 16*16*12*8; head 28px (out 4x4): 16*16*8*1 — x4 (FLOPs + tangent)
+    macs = 4 * 16 + 4 * 16 * 16 * 12 + 16 * 16 * 12 * 8 + 16 * 16 * 8
+    assert conv_decoder_jvp_flops_per_sample(model) == 4.0 * macs

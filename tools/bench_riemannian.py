@@ -35,7 +35,10 @@ def main():
     ap.add_argument("--engines", default="nodal,edgewise",
                     help="comma list of: nodal, edgewise (unfused 2-JVP), "
                          "fused (one concatenated-endpoint JVP), bf16 "
-                         "(fused + bf16 decoder compute, f32 norms)")
+                         "(fused + bf16 decoder compute, f32 norms), "
+                         "indexed (fused conv + device-side endpoint "
+                         "gathers), mlp (linearized matmul decoder + "
+                         "device gathers)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -77,22 +80,44 @@ def main():
                      dec_channels=(256, 128, 64), dtype=jax.numpy.bfloat16)
     decode_bf16 = make_decoder_image_fn(bf16_model, variables, "spatial")
 
+    mlp_fn = None
+    if "mlp" in args.engines:
+        from vqvae_tpu.ops import build_mlp_decode_fn
+
+        mlp_fn = build_mlp_decode_fn(model, variables)
+        assert mlp_fn is not None
+
     results = {}
     ref = None
     if args.batches:
+        eng0 = args.engines.split(",")[0]
+
+        def run_once(bs):
+            if eng0 == "mlp":
+                from vqvae_tpu.ops import edge_lengths_riemannian_indexed
+
+                return edge_lengths_riemannian_indexed(
+                    mlp_fn, z, rows, cols, batch_size=bs, fused=True)
+            if eng0 == "indexed":
+                from vqvae_tpu.ops import edge_lengths_riemannian_indexed
+
+                return edge_lengths_riemannian_indexed(
+                    decode_fn, z, rows, cols, batch_size=bs, fused=True)
+            return edge_lengths_riemannian(
+                decode_fn, z[rows], z[cols], batch_size=bs, fused=True)
+
         for bs in (int(x) for x in args.batches.split(",")):
             times = []
             for r in range(args.runs + 1):
                 t0 = time.perf_counter()
-                lengths = edge_lengths_riemannian(
-                    decode_fn, z[rows], z[cols], batch_size=bs, fused=True)
+                run_once(bs)
                 dt = time.perf_counter() - t0
                 if r > 0:
                     times.append(dt)
-                print(f"[bs{bs}] run{r}: {dt:.1f}s", file=sys.stderr)
+                print(f"[{eng0} bs{bs}] run{r}: {dt:.1f}s", file=sys.stderr)
             results[f"bs{bs}"] = round(min(times), 2)
         print(json.dumps({"nodes": args.nodes, "edges": int(len(rows)),
-                          "results": results}))
+                          "engine": eng0, "results": results}))
         return
     for engine in args.engines.split(","):
         times = []
@@ -108,6 +133,18 @@ def main():
             elif engine == "bf16":
                 lengths = edge_lengths_riemannian(
                     decode_bf16, z[rows], z[cols], batch_size=args.batch,
+                    fused=True)
+            elif engine == "indexed":
+                from vqvae_tpu.ops import edge_lengths_riemannian_indexed
+
+                lengths = edge_lengths_riemannian_indexed(
+                    decode_fn, z, rows, cols, batch_size=args.batch,
+                    fused=True)
+            elif engine == "mlp":
+                from vqvae_tpu.ops import edge_lengths_riemannian_indexed
+
+                lengths = edge_lengths_riemannian_indexed(
+                    mlp_fn, z, rows, cols, batch_size=args.batch,
                     fused=True)
             else:
                 lengths = edge_lengths_riemannian(

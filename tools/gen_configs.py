@@ -36,6 +36,16 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
     tf_epochs = 3 if small else 200
     batch = 64 if small else 256
 
+    # CIFAR targets are mean/std-normalized (outside (0,1)): a sigmoided-MSE
+    # decoder cannot reach them, so recon saturates and the spatial posterior
+    # collapses (decoder Jacobian ~0 -> vacuous Riemannian geometry). The
+    # reference's CIFAR spatial recipe therefore uses raw-logit MSE and a
+    # wider per-cell latent (reference configs/cifar10/spatial/geodesic/
+    # vae.yaml:39-45: latent_dim 32, mse_use_sigmoid false) — match it.
+    cifar_spatial = spatial and dataset == "cifar10" and not small
+    if cifar_spatial:
+        latent_dim = 32
+
     model = {
         "in_channels": meta["in_channels"],
         "output_image_size": meta["size"],
@@ -45,7 +55,7 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
         "recon_loss": "mse",
         "beta": 1.0,
         "norm_type": "batch",
-        "mse_use_sigmoid": True,
+        "mse_use_sigmoid": not cifar_spatial,
         "topology": "spatial" if spatial else "flat",
     }
     if not spatial:

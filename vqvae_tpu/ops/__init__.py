@@ -19,8 +19,9 @@ from .kmedoids import (
     assign_points_to_medoids,
     compute_quantization_error,
 )
-from .riemannian import (edge_lengths_riemannian,
+from .riemannian import (build_mlp_decode_fn, edge_lengths_riemannian,
                          edge_lengths_riemannian_auto,
+                         edge_lengths_riemannian_indexed,
                          edge_lengths_riemannian_nodal)
 from .ell import BucketedGraph, multi_source_shortest_paths_ell
 from .kmeans_euclidean import fit_kmeans
@@ -48,7 +49,9 @@ __all__ = [
     "kpp_parallel_initialization",
     "assign_points_to_medoids",
     "compute_quantization_error",
+    "build_mlp_decode_fn",
     "edge_lengths_riemannian",
     "edge_lengths_riemannian_auto",
+    "edge_lengths_riemannian_indexed",
     "edge_lengths_riemannian_nodal",
 ]

@@ -251,22 +251,38 @@ def _row_chunk(n_rows: int) -> int:
     return c
 
 
-@functools.partial(jax.jit, donate_argnums=(4,))
-def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
+@functools.partial(jax.jit, donate_argnums=(4,), static_argnums=(6,))
+def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters,
+             active: bool = True):
     """Gauss-Seidel relaxation in permuted (bucket-row) layout.
 
     One sweep scans each bucket's row chunks in order (direction alternates
     between sweeps), relaxing a chunk against the LIVE distance matrix and
     writing it back before the next chunk runs — so improvements propagate
     along the row order within a single sweep.
+
+    ``active``: chunk-level frontier skipping. Two row masks are kept —
+    ``cp`` (rows whose distance improved during the previous sweep) and
+    ``cc`` (improvements so far in this sweep) — and a chunk is relaxed
+    only when some in-neighbor of its rows is marked in either mask
+    (its candidates ``d[nbr] + w`` cannot have changed otherwise). Any
+    improvement reaches every dependent chunk within two sweeps (same
+    sweep via ``cc`` for chunks later in the order, next sweep via ``cp``
+    for the rest), so the fixed point is exactly the full-relaxation one;
+    the loop still exits only after a sweep with no improvement anywhere.
+    A skipped chunk costs two mask gathers (~1% of a relax at K=512), so
+    warm-start convergence tails — where improvement regions are small —
+    stop paying for full sweeps. Returns per-bucket relaxed-chunk counts
+    for the bandwidth accounting.
     """
     n_rows = perm_nodes.shape[0]
     k = d0.shape[1]
     d_perm = d0[perm_nodes]  # (N_pad, K): row-space distances
 
     offsets = np.cumsum([0] + [int(nb.shape[0]) for nb in nbrs])
+    n_buckets = len(nbrs)
 
-    def sweep(d_perm, reverse):
+    def sweep(d_perm, cp, cc, counts, reverse):
         changed = jnp.bool_(False)
         for b, (nb_all, wb_all) in enumerate(zip(nbrs, wts)):
             rows, deg = nb_all.shape
@@ -282,57 +298,78 @@ def _ell_run(nbrs, wts, perm_nodes, inv_perm, d0, max_iters):
             # buffer stays ~64 MB.
             deg_block = _deg_block(chunk, deg, k)
 
-            def step(carry, i, nb_all=nb_all, wb_all=wb_all, chunk=chunk,
-                     n_chunks=n_chunks, row_off=row_off, deg=deg,
-                     deg_block=deg_block):
-                d_perm, changed = carry
+            def step(carry, i, b=b, nb_all=nb_all, wb_all=wb_all,
+                     chunk=chunk, n_chunks=n_chunks, row_off=row_off,
+                     deg=deg, deg_block=deg_block):
+                d_perm, cc, counts, changed = carry
                 idx = jnp.where(reverse, n_chunks - 1 - i, i)
                 nb = jax.lax.dynamic_slice(nb_all, (idx * chunk, 0),
                                            (chunk, deg))
-                wb = jax.lax.dynamic_slice(wb_all, (idx * chunk, 0),
-                                           (chunk, deg))
-                cur = jax.lax.dynamic_slice(
-                    d_perm, (row_off + idx * chunk, 0), (chunk, k))
 
-                if deg_block > 1:
-                    nbb = nb.reshape(chunk, deg // deg_block, deg_block)
-                    wbb = wb.reshape(chunk, deg // deg_block, deg_block)
+                def relax(args):
+                    d_perm, cc, counts = args
+                    wb = jax.lax.dynamic_slice(wb_all, (idx * chunk, 0),
+                                               (chunk, deg))
+                    cur = jax.lax.dynamic_slice(
+                        d_perm, (row_off + idx * chunk, 0), (chunk, k))
 
-                    def relax_j(j, acc):
-                        cand = (d_perm[nbb[:, j]]
-                                + wbb[:, j][:, :, None])  # (chunk, B, K)
-                        return jnp.minimum(acc, cand.min(axis=1))
+                    if deg_block > 1:
+                        nbb = nb.reshape(chunk, deg // deg_block, deg_block)
+                        wbb = wb.reshape(chunk, deg // deg_block, deg_block)
 
-                    new = jax.lax.fori_loop(0, deg // deg_block, relax_j,
-                                            cur)
+                        def relax_j(j, acc):
+                            cand = (d_perm[nbb[:, j]]
+                                    + wbb[:, j][:, :, None])  # (chunk, B, K)
+                            return jnp.minimum(acc, cand.min(axis=1))
+
+                        new = jax.lax.fori_loop(0, deg // deg_block, relax_j,
+                                                cur)
+                    else:
+                        def relax_j(j, acc):
+                            cand = d_perm[nb[:, j]] + wb[:, j][:, None]
+                            return jnp.minimum(acc, cand)
+
+                        new = jax.lax.fori_loop(0, deg, relax_j, cur)
+                    row_ch = jnp.any(new < cur, axis=1)
+                    if active:
+                        cc = jax.lax.dynamic_update_slice(
+                            cc, row_ch, (row_off + idx * chunk,))
+                    d_perm = jax.lax.dynamic_update_slice(
+                        d_perm, new, (row_off + idx * chunk, 0))
+                    return d_perm, cc, counts.at[b].add(1), jnp.any(row_ch)
+
+                if active:
+                    is_active = jnp.logical_or(jnp.any(cp[nb]),
+                                               jnp.any(cc[nb]))
+                    d_perm, cc, counts, ch = jax.lax.cond(
+                        is_active, relax,
+                        lambda a: (*a, jnp.bool_(False)),
+                        (d_perm, cc, counts))
                 else:
-                    def relax_j(j, acc):
-                        cand = d_perm[nb[:, j]] + wb[:, j][:, None]
-                        return jnp.minimum(acc, cand)
+                    d_perm, cc, counts, ch = relax((d_perm, cc, counts))
+                changed = jnp.logical_or(changed, ch)
+                return (d_perm, cc, counts, changed), None
 
-                    new = jax.lax.fori_loop(0, deg, relax_j, cur)
-                changed = jnp.logical_or(changed, jnp.any(new < cur))
-                d_perm = jax.lax.dynamic_update_slice(
-                    d_perm, new, (row_off + idx * chunk, 0))
-                return (d_perm, changed), None
-
-            (d_perm, changed), _ = jax.lax.scan(
-                step, (d_perm, changed), jnp.arange(n_chunks))
-        return d_perm, changed
+            (d_perm, cc, counts, changed), _ = jax.lax.scan(
+                step, (d_perm, cc, counts, changed), jnp.arange(n_chunks))
+        return d_perm, cc, counts, changed
 
     def cond(state):
-        _, changed, it = state
+        _, _, _, changed, it = state
         return jnp.logical_and(changed, it < max_iters)
 
     def body(state):
-        d_perm, _, it = state
-        d_perm, changed = sweep(d_perm, it % 2 == 1)
-        return d_perm, changed, it + 1
+        d_perm, cp, counts, _, it = state
+        cc = jnp.zeros((n_rows,), jnp.bool_)
+        d_perm, cc, counts, changed = sweep(d_perm, cp, cc, counts,
+                                            it % 2 == 1)
+        return d_perm, cc, counts, changed, it + 1
 
-    d_perm, _, iters = jax.lax.while_loop(
-        cond, body, (d_perm, jnp.bool_(True), 0))
-    del n_rows
-    return d_perm[inv_perm], iters
+    d_perm, _, counts, _, iters = jax.lax.while_loop(
+        cond, body, (d_perm, jnp.ones((n_rows,), jnp.bool_),
+                     jnp.zeros((n_buckets,), jnp.int32),
+                     jnp.bool_(True), 0))
+    return d_perm[inv_perm], iters, counts
 
 
 def multi_source_shortest_paths_ell(
@@ -369,20 +406,42 @@ def multi_source_shortest_paths_ell(
         d0 = jax.device_put(d0, NamedSharding(mesh, P(None, DATA_AXIS)))
     if max_iters is None:
         max_iters = n + 1
+    active = os.environ.get("VQVAE_TPU_ELL_ACTIVE", "1") == "1"
     record = os.environ.get("VQVAE_TPU_ELL_STATS") == "1"
     t0 = time.perf_counter() if record else 0.0
-    d, iters = _ell_run(graph.nbrs, graph.wts, graph.perm_nodes,
-                        graph.inv_perm, d0, jnp.int32(max_iters))
+    d, iters, counts = _ell_run(graph.nbrs, graph.wts, graph.perm_nodes,
+                                graph.inv_perm, d0, jnp.int32(max_iters),
+                                active)
     if record:
         it = int(iters)  # device-to-host copy: the only reliable fence here
         dt = time.perf_counter() - t0
-        e_pad = sum(int(nb.shape[0]) * int(nb.shape[1]) for nb in graph.nbrs)
+        counts = np.asarray(counts)
         kk = int(k)
-        # per sweep: gather a (K,) distance row + idx + weight per edge slot,
-        # read + write the (N_pad, K) matrix once
-        swept = it * (e_pad * (kk * 4 + 8)
-                      + 2 * int(graph.perm_nodes.shape[0]) * kk * 4)
+        # relaxed chunk of bucket b: gather a (K,) distance row + weight per
+        # edge slot, read + write its (chunk, K) rows; skipped chunk: the
+        # neighbor slice + two bool mask gathers
+        swept = skipped = 0
+        visits = relaxed = 0
+        for b, nb in enumerate(graph.nbrs):
+            rows, deg = int(nb.shape[0]), int(nb.shape[1])
+            if rows == 0:
+                continue
+            chunk = _row_chunk(rows)
+            n_chunks = rows // chunk
+            slots = chunk * deg
+            n_rel = int(counts[b])
+            per_relax = (slots * (kk * 4 + 8 + (2 if active else 0))
+                         + 2 * chunk * kk * 4)
+            swept += n_rel * per_relax
+            n_skip = it * n_chunks - n_rel
+            skipped += max(n_skip, 0) * slots * 6
+            visits += it * n_chunks
+            relaxed += n_rel
+        swept += skipped
         ELL_STATS.append({"iters": it, "seconds": dt, "k": kk,
                           "bytes": swept,
+                          "chunk_visits": visits,
+                          "chunk_relaxed": relaxed,
+                          "active_frac": relaxed / max(visits, 1),
                           "gbps": swept / max(dt, 1e-9) / 1e9})
     return (d, iters) if return_iters else d
