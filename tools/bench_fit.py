@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--rounds", type=int, default=8)
     ap.add_argument("--schedule", default="flat")
     ap.add_argument("--backends", default="auto")
+    ap.add_argument("--active", default="1",
+                    help="comma list of VQVAE_TPU_ELL_ACTIVE values to A/B "
+                         "(e.g. 1,0) — frontier skipping on/off")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--graph-cache", default=None,
@@ -77,26 +80,33 @@ def main():
 
     results = {}
     for backend in args.backends.split(","):
-        times, qes = [], []
-        for r in range(args.runs + 1):  # first run = warm-up/compile
-            n0 = len(ELL_STATS)
-            t1 = time.perf_counter()
-            _, _, qe = fit_kmedoids(W, K=args.codes, init="kpp_parallel",
-                                    kpp_rounds=args.rounds, seed=42,
-                                    backend=backend)
-            dt = time.perf_counter() - t1
-            ell = ELL_STATS[n0:]
-            sweeps = [e["iters"] for e in ell]
-            gbps = (sum(e["bytes"] for e in ell)
-                    / max(sum(e["seconds"] for e in ell), 1e-9) / 1e9)
-            print(f"[{backend}] run{r}: {dt:.1f}s qe={qe:.1f} "
-                  f"passes={len(ell)} sweeps={sweeps} "
-                  f"relax={gbps:.0f}GB/s", file=sys.stderr)
-            if r > 0:
-                times.append(dt)
-                qes.append(qe)
-        results[backend] = {"seconds": round(min(times), 2),
-                            "qe": round(qes[0], 2)}
+        for act in args.active.split(","):
+            os.environ["VQVAE_TPU_ELL_ACTIVE"] = act
+            label = backend + ("" if act == "1" else f"-active{act}")
+            times, qes = [], []
+            for r in range(args.runs + 1):  # first run = warm-up/compile
+                n0 = len(ELL_STATS)
+                t1 = time.perf_counter()
+                _, _, qe = fit_kmedoids(W, K=args.codes,
+                                        init="kpp_parallel",
+                                        kpp_rounds=args.rounds, seed=42,
+                                        backend=backend)
+                dt = time.perf_counter() - t1
+                ell = ELL_STATS[n0:]
+                sweeps = [e["iters"] for e in ell]
+                frac = [round(e.get("active_frac", 1.0), 2) for e in ell]
+                gbps = (sum(e["bytes"] for e in ell)
+                        / max(sum(e["seconds"] for e in ell), 1e-9) / 1e9)
+                solver = sum(e["seconds"] for e in ell)
+                print(f"[{label}] run{r}: {dt:.1f}s (solver {solver:.1f}s) "
+                      f"qe={qe:.1f} passes={len(ell)} sweeps={sweeps} "
+                      f"active={frac} relax={gbps:.0f}GB/s",
+                      file=sys.stderr)
+                if r > 0:
+                    times.append(dt)
+                    qes.append(qe)
+            results[label] = {"seconds": round(min(times), 2),
+                              "qe": round(qes[0], 2)}
     print(json.dumps({"nodes": args.nodes, "codes": args.codes,
                       "results": results}))
 

@@ -39,8 +39,9 @@ def main():
                          "0.9,0.95,0.99 (reports recall vs the exact run)")
     ap.add_argument("--pallas-cases", default=None,
                     help="sweep the fused Pallas kernel: comma-separated "
-                         "rerank_tile x db_tile x bins [x sel_tile] cases, "
-                         "e.g. 1024x2048x1024,1024x4096x1024x256 (reports "
+                         "rerank_tile x db_tile x bins [x sel_tile "
+                         "[x margin]] cases, e.g. "
+                         "1024x2048x1024,1024x4096x1024x256x4 (reports "
                          "recall vs an exact XLA run)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
@@ -61,6 +62,8 @@ def main():
     z = make_latents(args.nodes, dim=args.dim, seed=0)
     results = {}
     for case in args.cases.split(","):
+        if not case:  # --cases '' skips the XLA tile sweep entirely
+            continue
         qt, dt = (int(x) for x in case.split("x"))
         for ap_flag in (int(x) for x in args.approx.split(",")):
             for agg in (int(x) for x in args.agg.split(",")):
@@ -114,11 +117,12 @@ def main():
             os.environ["VQVAE_TPU_KNN_BINS"] = str(bins)
             os.environ["VQVAE_TPU_KNN_SELTILE"] = str(
                 parts[3] if len(parts) > 3 else 128)
+            margin = parts[4] if len(parts) > 4 else None
             times = []
             for r in range(args.runs + 1):  # run 0 = compile
                 t0 = time.perf_counter()
                 d, i = knn_search(z, k=args.k + 1, kernel="pallas",
-                                  query_tile=qt, db_tile=dt)
+                                  query_tile=qt, db_tile=dt, margin=margin)
                 if r > 0:
                     times.append(time.perf_counter() - t0)
             rec = float(np.mean([len(ref_sets[q].intersection(i[q]))

@@ -40,6 +40,9 @@ def main():
                          "gathers), mlp (linearized matmul decoder + "
                          "device gathers)")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--graph-cache", default=None,
+                    help="npz path caching the kNN graph at this shape "
+                         "(skips the kNN build + its compile per process)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -67,8 +70,21 @@ def main():
                            np.zeros((1, 28, 28, 1), np.float32))
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
-    W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
-                           mode="connectivity", sym="union", approx=True)
+    cache = Path(args.graph_cache) if args.graph_cache else None
+    if cache is not None and cache.exists():
+        from scipy import sparse
+
+        W = sparse.load_npz(cache)
+        assert W.shape[0] == args.nodes, (W.shape, args.nodes)
+        print(f"[graph] loaded {cache} nnz={W.nnz}", file=sys.stderr)
+    else:
+        W, _ = build_knn_graph(z, k=args.knn, metric="euclidean",
+                               mode="connectivity", sym="union", approx=True)
+        if cache is not None:
+            from scipy import sparse
+
+            sparse.save_npz(cache, W.tocsr())
+            print(f"[graph] saved {cache}", file=sys.stderr)
     rows, cols = W.nonzero()
     keep = rows < cols
     rows, cols = rows[keep], cols[keep]

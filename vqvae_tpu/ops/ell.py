@@ -406,7 +406,14 @@ def multi_source_shortest_paths_ell(
         d0 = jax.device_put(d0, NamedSharding(mesh, P(None, DATA_AXIS)))
     if max_iters is None:
         max_iters = n + 1
-    active = os.environ.get("VQVAE_TPU_ELL_ACTIVE", "1") == "1"
+    # default OFF — measured NEGATIVE at the production shape (983k/K=512,
+    # rounds=4, v5e): k-means|| rounds relax 128 fresh sources whose
+    # improvement regions span the whole graph, so chunk active fractions
+    # sit at 0.89-1.0 (ceiling ~10%), while the lax.cond skip machinery
+    # costs 3.6x (solver 51.4s vs 14.3s, 9 vs 35 GB/s same session) —
+    # docs/benchmarks.md round-4. Kept opt-in for narrow/late-frontier
+    # workloads (e.g. single-source warm refreshes).
+    active = os.environ.get("VQVAE_TPU_ELL_ACTIVE", "0") == "1"
     record = os.environ.get("VQVAE_TPU_ELL_STATS") == "1"
     t0 = time.perf_counter() if record else 0.0
     d, iters, counts = _ell_run(graph.nbrs, graph.wts, graph.perm_nodes,

@@ -457,9 +457,14 @@ def edge_lengths_riemannian_auto(
     record = os.environ.get("VQVAE_TPU_RIEM_STATS") == "1"
     t0 = time.perf_counter() if record else 0.0
     if mlp_fn is not None:
+        # the linearized engine's live buffers are tiny (<=1k-wide
+        # activations), so chunk bigger than conv callers ask for:
+        # 983k-edge sweep measured best at 16384 (docs/benchmarks.md r4)
+        mlp_bs = max(batch_size,
+                     int(os.environ.get("VQVAE_TPU_RIEM_BATCH", 16384)))
         out = edge_lengths_riemannian_indexed(
             mlp_fn, z.reshape(z.shape[0], -1), rows, cols,
-            batch_size=batch_size, mesh=mesh)
+            batch_size=mlp_bs, mesh=mesh)
         engine_used, flops = "mlp", mlp_fn.jvp_flops_per_sample
     else:
         out = edge_lengths_riemannian_indexed(
