@@ -104,6 +104,43 @@ def test_fused_sel_tile_invariance(monkeypatch):
     assert (i_256 == i_128).all()
 
 
+@pytest.mark.parametrize("n", [300, 1024, 1800])
+def test_packed_matches_unpacked(n, monkeypatch):
+    # packed keys truncate blk_bits low mantissa bits of the SELECTION
+    # value only; with an exhaustive accumulator (n <= 2*bins) and the
+    # exact f32 re-rank the returned neighbors must be identical
+    z = _latents(n, seed=8)
+    d_ref, i_ref = knn_search(z, k=11, kernel="pallas", db_tile=512)
+    monkeypatch.setenv("VQVAE_TPU_KNN_PACKED", "1")
+    d_pk, i_pk = knn_search(z, k=11, kernel="pallas", db_tile=512)
+    np.testing.assert_allclose(d_pk, d_ref, rtol=1e-6, atol=1e-6)
+    assert (i_pk == i_ref).all()
+
+
+def test_packed_cosine_matches_exact(monkeypatch):
+    z = _latents(500, seed=9)
+    d_ref, i_ref = knn_search(z, k=8, metric="cosine", kernel="xla")
+    monkeypatch.setenv("VQVAE_TPU_KNN_PACKED", "1")
+    d_pk, i_pk = knn_search(z, k=8, metric="cosine", kernel="pallas")
+    np.testing.assert_allclose(d_pk, d_ref, rtol=1e-5, atol=1e-5)
+    assert (i_pk == i_ref).all()
+
+
+def test_packed_binned_recall_under_collisions(monkeypatch):
+    # same collision-stress shape as the unpacked test: the packed top-2
+    # update must lose no more neighbors than the binning bound predicts
+    n, k = 4096, 10
+    z = _latents(n, seed=4)
+    _, i_ref = knn_search(z, k=k, kernel="xla")
+    monkeypatch.setenv("VQVAE_TPU_KNN_BINS", "128")
+    monkeypatch.setenv("VQVAE_TPU_KNN_PACKED", "1")
+    _, i_pk = knn_search(z, k=k, kernel="pallas", db_tile=512)
+    ref_sets = [set(r) for r in i_ref]
+    recall = np.mean([len(ref_sets[q].intersection(i_pk[q])) / k
+                      for q in range(n)])
+    assert recall >= 0.95, recall
+
+
 def test_unknown_kernel_raises():
     with pytest.raises(ValueError):
         knn_search(_latents(64), k=3, kernel="cuda")

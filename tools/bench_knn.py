@@ -40,8 +40,8 @@ def main():
     ap.add_argument("--pallas-cases", default=None,
                     help="sweep the fused Pallas kernel: comma-separated "
                          "rerank_tile x db_tile x bins [x sel_tile "
-                         "[x margin]] cases, e.g. "
-                         "1024x2048x1024,1024x4096x1024x256x4 (reports "
+                         "[x margin [x packed]]] cases, e.g. "
+                         "1024x2048x1024,1024x4096x1024x256x4x1 (reports "
                          "recall vs an exact XLA run)")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--platform", default=None)
@@ -118,6 +118,8 @@ def main():
             os.environ["VQVAE_TPU_KNN_SELTILE"] = str(
                 parts[3] if len(parts) > 3 else 128)
             margin = parts[4] if len(parts) > 4 else None
+            os.environ["VQVAE_TPU_KNN_PACKED"] = str(
+                parts[5] if len(parts) > 5 else 0)
             times = []
             for r in range(args.runs + 1):  # run 0 = compile
                 t0 = time.perf_counter()

@@ -163,8 +163,10 @@ def _knn_block_impl_fused(
     interpret: bool,
     # query rows per Pallas block: the db stream is re-read once per block,
     # so larger tiles cut HBM traffic 1/sel_tile; VMEM scratch grows with
-    # sel_tile*bins (4 buffers) — 128 -> 2 MB, 512 -> 8 MB at bins=1024
+    # sel_tile*bins (4 buffers unpacked / 2 packed) — 128 -> 2 MB,
+    # 512 -> 8 MB at bins=1024 unpacked
     sel_tile: int = 128,
+    packed: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused Pallas selection (ops/pallas_knn.py) + scanned exact re-rank."""
     from .pallas_knn import CAND_LANES, fused_select
@@ -175,11 +177,13 @@ def _knn_block_impl_fused(
     bins = min(bins, db_tile)
     while bins > 8 and db_tile % bins:  # bins must divide the db tile
         bins //= 2
+    if packed and (bins & (bins - 1)):
+        packed = False  # packed slot decode needs power-of-two bins
     n_valid = jnp.sum(row_valid.astype(jnp.int32))
     cand_d, cand_i = fused_select(
         zq, z, n_valid, metric=metric, sel_tile=sel_tile, db_tile=db_tile,
         bins=bins, k_sel=min(k + margin, CAND_LANES),
-        interpret=interpret)
+        interpret=interpret, packed=packed)
     n_qt = Qp // query_tile
     zq_t = zq.reshape(n_qt, query_tile, -1)
     qv_t = q_row_valid.reshape(n_qt, query_tile)
@@ -199,14 +203,16 @@ def _build_knn_fn(mesh, k: int, metric: str, query_tile: int, db_tile: int,
                   approx: bool, margin: int, recall: float,
                   aggregate: bool = True, sel_bf16: bool = False,
                   kernel: str = "xla", bins: int = 1024,
-                  interpret: bool = False, sel_tile: int = 128):
+                  interpret: bool = False, sel_tile: int = 128,
+                  packed: bool = False):
     """Compiled block kernel; query-axis shard_map when a >1-device mesh is
     given, plain single-device jit otherwise."""
     if kernel == "pallas":
         impl = functools.partial(_knn_block_impl_fused, k=k, metric=metric,
                                  query_tile=query_tile, db_tile=db_tile,
                                  bins=bins, margin=margin,
-                                 interpret=interpret, sel_tile=sel_tile)
+                                 interpret=interpret, sel_tile=sel_tile,
+                                 packed=packed)
     else:
         impl = functools.partial(_knn_block_impl, k=k, metric=metric,
                                  query_tile=query_tile, db_tile=db_tile,
@@ -354,7 +360,9 @@ def knn_search(
                        interpret=(kernel == "pallas"
                                   and jax.default_backend() != "tpu"),
                        sel_tile=int(os.environ.get(
-                           "VQVAE_TPU_KNN_SELTILE", 128)))
+                           "VQVAE_TPU_KNN_SELTILE", 128)),
+                       packed=os.environ.get(
+                           "VQVAE_TPU_KNN_PACKED", "0") == "1")
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):

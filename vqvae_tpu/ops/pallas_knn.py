@@ -21,6 +21,16 @@ This kernel never leaves VMEM between the matmul and the selection:
   accumulator entries are peeled off by iterative min-extraction, so the
   kernel emits only (N, 128) candidate slots — the (N, 2*bins) accumulator
   never reaches HBM either.
+- **Packed keys** (``packed=True``): distance and origin-block id share one
+  i32 key — ``(bits(max(d,0)) & ~(2^b-1)) | block_id`` — so the top-2
+  update runs on TWO i32 accumulators instead of four f32/i32 pairs
+  (2 compares + 3 selects per element vs 2 + 6 plus per-sub-block iota
+  rebuilds, and half the VMEM scratch). Non-negative f32 bit patterns are
+  order-isomorphic to i32, so one integer min orders by distance with the
+  block id as a deterministic tie-break. ``b = ceil(log2(N/bins))`` mantissa
+  bits are truncated (10 at the 983k/1024-bin north star, leaving 13 —
+  still finer than the bf16 multiply passes that feed the selection); the
+  exact f32 re-rank restores exact distances either way.
 
 The exact f32 re-rank over the emitted candidates stays in ops/knn.py
 (shared with the XLA path), so reported distances are exact for returned
@@ -111,13 +121,75 @@ def _select_kernel(nv_ref, q_ref, x_ref, outd_ref, outi_ref,
         outi_ref[:] = out_i
 
 
+def _select_kernel_packed(nv_ref, q_ref, x_ref, outd_ref, outi_ref,
+                          k1, k2, *, bins: int, k_sel: int, blk_bits: int):
+    j = pl.program_id(1)
+    n_dt = pl.num_programs(1)
+    db_tile = x_ref.shape[1]
+    lo_mask = (1 << blk_bits) - 1
+    hi_mask = ~lo_mask  # i32: keeps sign+exponent+high mantissa bits
+
+    @pl.when(j == 0)
+    def _():
+        k1[:] = jnp.full_like(k1, _BIG_I32)
+        k2[:] = jnp.full_like(k2, _BIG_I32)
+
+    d = jax.lax.dot_general(
+        q_ref[:], x_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # clamp tiny negative cancellation residue: non-negative f32 bit
+    # patterns are order-isomorphic to i32, which is what makes one
+    # integer compare order (distance, block) pairs correctly
+    d = jnp.maximum(d, 0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + j * db_tile
+    d = jnp.where(col < nv_ref[0, 0], d, _INF)  # mask padded db rows
+
+    for s in range(db_tile // bins):
+        ds = d[:, s * bins:(s + 1) * bins]
+        bid = j * (db_tile // bins) + s  # scalar: origin block of this slot
+        ki = (jax.lax.bitcast_convert_type(ds, jnp.int32) & hi_mask) | bid
+        v1, v2 = k1[:], k2[:]
+        lt1 = ki < v1
+        lt2 = ki < v2
+        k2[:] = jnp.where(lt1, v1, jnp.where(lt2, ki, v2))
+        k1[:] = jnp.where(lt1, ki, v1)
+
+    @pl.when(j == n_dt - 1)
+    def _():
+        full = jnp.concatenate([k1[:], k2[:]], axis=1)  # (T, 2*bins) keys
+        cols2 = jax.lax.broadcasted_iota(jnp.int32, full.shape, 1)
+        lane = jax.lax.broadcasted_iota(
+            jnp.int32, (full.shape[0], CAND_LANES), 1)
+        out_d = jnp.full((full.shape[0], CAND_LANES), _INF, jnp.float32)
+        out_i = jnp.full((full.shape[0], CAND_LANES), -1, jnp.int32)
+        for t in range(k_sel):
+            vmin = jnp.min(full, axis=1, keepdims=True)        # (T, 1)
+            is_min = full == vmin
+            colm = jnp.min(jnp.where(is_min, cols2, _BIG_I32), axis=1,
+                           keepdims=True)
+            picked = cols2 == colm  # first occurrence of the row min
+            # decode: distance = high bits as f32 (exact-selection value up
+            # to the truncated low mantissa; +inf/NaN for padded / never-
+            # filled slots — the exact re-rank masks non-finite values),
+            # index = origin block * bins + slot lane
+            dist = jax.lax.bitcast_convert_type(vmin & hi_mask, jnp.float32)
+            slot = colm & (bins - 1)  # bins is a power of two
+            cid = (vmin & lo_mask) * bins + slot
+            cid = jnp.where(vmin == _BIG_I32, -1, cid)
+            out_d = jnp.where(lane == t, dist, out_d)
+            out_i = jnp.where(lane == t, cid, out_i)
+            full = jnp.where(picked, _BIG_I32, full)
+        outd_ref[:] = out_d
+        outi_ref[:] = out_i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("metric", "sel_tile", "db_tile", "bins", "k_sel",
-                     "interpret"))
+                     "interpret", "packed"))
 def fused_select(zq: jax.Array, z: jax.Array, n_valid: jax.Array, *,
                  metric: str, sel_tile: int, db_tile: int, bins: int,
-                 k_sel: int, interpret: bool):
+                 k_sel: int, interpret: bool, packed: bool = False):
     """Top-``k_sel`` candidate (distances, indices), each (Qp, 128).
 
     ``zq`` (Qp, D) and ``z`` (Np, D) must be f32 with Qp % sel_tile == 0 and
@@ -132,6 +204,14 @@ def fused_select(zq: jax.Array, z: jax.Array, n_valid: jax.Array, *,
         raise ValueError("db_tile must be a multiple of bins")
     qp, dim = zq.shape
     np_ = z.shape[0]
+    if packed:
+        if bins & (bins - 1):
+            raise ValueError("packed selection requires power-of-two bins")
+        blk_bits = max(1, (np_ // bins - 1).bit_length())
+        if blk_bits > 16:
+            raise ValueError(
+                f"packed selection would truncate {blk_bits} > 16 mantissa "
+                f"bits at N={np_}, bins={bins}; raise bins or use unpacked")
     ones_q = jnp.ones((qp, 1), jnp.float32)
     ones_x = jnp.ones((np_, 1), jnp.float32)
     if metric == "cosine":
@@ -148,7 +228,17 @@ def fused_select(zq: jax.Array, z: jax.Array, n_valid: jax.Array, *,
     xa = jnp.pad(xa, ((0, 0), (0, d_aug - xa.shape[1]))).T  # (Da, Np)
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
 
-    kernel = functools.partial(_select_kernel, bins=bins, k_sel=k_sel)
+    if packed:
+        kernel = functools.partial(_select_kernel_packed, bins=bins,
+                                   k_sel=k_sel, blk_bits=blk_bits)
+        scratch = [pltpu.VMEM((sel_tile, bins), jnp.int32),
+                   pltpu.VMEM((sel_tile, bins), jnp.int32)]
+    else:
+        kernel = functools.partial(_select_kernel, bins=bins, k_sel=k_sel)
+        scratch = [pltpu.VMEM((sel_tile, bins), jnp.float32),
+                   pltpu.VMEM((sel_tile, bins), jnp.float32),
+                   pltpu.VMEM((sel_tile, bins), jnp.int32),
+                   pltpu.VMEM((sel_tile, bins), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(qp // sel_tile, np_ // db_tile),
@@ -170,12 +260,7 @@ def fused_select(zq: jax.Array, z: jax.Array, n_valid: jax.Array, *,
             jax.ShapeDtypeStruct((qp, CAND_LANES), jnp.float32),
             jax.ShapeDtypeStruct((qp, CAND_LANES), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((sel_tile, bins), jnp.float32),
-            pltpu.VMEM((sel_tile, bins), jnp.float32),
-            pltpu.VMEM((sel_tile, bins), jnp.int32),
-            pltpu.VMEM((sel_tile, bins), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * np_ * d_aug,
             bytes_accessed=(qp // sel_tile) * np_ * d_aug * 4
