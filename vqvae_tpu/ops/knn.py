@@ -180,10 +180,15 @@ def _knn_block_impl_fused(
     if packed and (bins & (bins - 1)):
         packed = False  # packed slot decode needs power-of-two bins
     n_valid = jnp.sum(row_valid.astype(jnp.int32))
+    k_sel = min(k + margin, CAND_LANES)
     cand_d, cand_i = fused_select(
         zq, z, n_valid, metric=metric, sel_tile=sel_tile, db_tile=db_tile,
-        bins=bins, k_sel=min(k + margin, CAND_LANES),
-        interpret=interpret, packed=packed)
+        bins=bins, k_sel=k_sel, interpret=interpret, packed=packed)
+    # the kernel emits CAND_LANES(=128)-wide blocks for lane alignment but
+    # only the first k_sel lanes are ever filled (the rest are +inf/-1);
+    # slicing here cuts the exact re-rank's gather + distance work ~8x
+    cand_d = cand_d[:, :k_sel]
+    cand_i = cand_i[:, :k_sel]
     n_qt = Qp // query_tile
     zq_t = zq.reshape(n_qt, query_tile, -1)
     qv_t = q_row_valid.reshape(n_qt, query_tile)
