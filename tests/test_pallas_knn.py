@@ -141,6 +141,24 @@ def test_packed_binned_recall_under_collisions(monkeypatch):
     assert recall >= 0.95, recall
 
 
+@pytest.mark.parametrize("packed", ["0", "1"])
+def test_fused_exact_duplicates_and_ties(packed, monkeypatch):
+    # 50 clusters of 30 near-identical points (spread ~1e-6): squared
+    # distances cancel to ~0 (the packed path clamps tiny negatives before
+    # the monotonic bitcast) and selection values tie below the truncation
+    # threshold. Returned DISTANCES must still match the exact kernel --
+    # indices may permute within exact ties, so compare the sorted exact
+    # re-ranked distances only.
+    rng = np.random.RandomState(11)
+    centers = rng.randn(50, 16).astype(np.float32) * 5.0
+    z = np.repeat(centers, 30, axis=0)
+    z += rng.randn(*z.shape).astype(np.float32) * 1e-6
+    d_ref, _ = knn_search(z, k=11, kernel="xla")
+    monkeypatch.setenv("VQVAE_TPU_KNN_PACKED", packed)
+    d_fus, _ = knn_search(z, k=11, kernel="pallas", db_tile=512)
+    np.testing.assert_allclose(d_fus, d_ref, rtol=1e-4, atol=1e-5)
+
+
 def test_unknown_kernel_raises():
     with pytest.raises(ValueError):
         knn_search(_latents(64), k=3, kernel="cuda")
