@@ -159,6 +159,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
                       else "approx-partialreduce")
                      if knn_approx else "exact"),
         "knn_kernel": knn_kernel,
+        "knn_packed": os.environ.get("VQVAE_TPU_KNN_PACKED", "0") == "1",
     }
     log(f"[ours] knn={t_knn:.1f}s riemannian={t_riem:.1f}s "
         f"kmedoids={t_kmed:.1f}s total={total:.1f}s (K={len(medoids)}, "
