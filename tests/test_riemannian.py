@@ -261,6 +261,22 @@ def test_auto_engine_mlp_matches_edgewise(monkeypatch):
     assert stats[0]["jvp_flops_per_sample"] < stats[1]["jvp_flops_per_sample"]
 
 
+def test_mlp_self_check_rejects_drifted_probe(monkeypatch):
+    """If the affine-segment probe ever disagrees with the real conv
+    decoder (model-geometry drift), build_mlp_decode_fn must return None
+    so auto falls back to the always-correct conv path."""
+    from vqvae_tpu.ops import build_mlp_decode_fn
+    from vqvae_tpu.ops import riemannian as riem
+
+    model, variables = _spatial_vae()
+    good = riem._decoder_affine_segments(model, variables)
+    assert good is not None
+    corrupted = [(M * 1.5, c) for M, c in good]  # wrong map, right shapes
+    monkeypatch.setattr(riem, "_decoder_affine_segments",
+                        lambda *a, **k: corrupted)
+    assert build_mlp_decode_fn(model, variables) is None
+
+
 def test_engine_mlp_forced_raises_when_unsupported(monkeypatch):
     from vqvae_tpu.ops import edge_lengths_riemannian_auto
     from vqvae_tpu.ops.riemannian import make_decoder_image_fn

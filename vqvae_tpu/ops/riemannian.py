@@ -153,16 +153,53 @@ def _decoder_affine_segments(model, variables):
     return out
 
 
+def _verify_affine_segments(model, variables, segs) -> bool:
+    """Runtime backstop for the linearized decoder: evaluate the probed
+    affine+ReLU stack and the REAL conv decoder on a small random latent
+    batch (local CPU backend, milliseconds) and require agreement. The
+    probe hand-mirrors ``Decoder.__call__``'s stage geometry; if the model
+    ever drifts (or an unusual ``dec_channels`` shape slips past the
+    guards), this turns a silent wrong-metric failure into a clean
+    fallback to the always-correct conv path."""
+    from ..parallel import run_on_cpu
+
+    z = np.random.RandomState(0).randn(8, int(model.latent_dim))
+    z = z.astype(np.float32)
+
+    def check(variables):
+        h = jnp.asarray(z)
+        for i, (M, c) in enumerate(segs):
+            h = jnp.dot(h, jnp.asarray(M)) + jnp.asarray(c)
+            if i < len(segs) - 1:
+                h = jax.nn.relu(h)
+        mlp = jax.nn.sigmoid(h)
+        logits = model.apply(variables, jnp.asarray(z)[:, None, None, :],
+                             method=model.decode)
+        conv = jax.nn.sigmoid(logits).reshape(z.shape[0], -1)
+        return mlp, conv
+
+    try:
+        mlp, conv = run_on_cpu(check, variables)
+    except Exception:
+        return False
+    mlp, conv = np.asarray(mlp), np.asarray(conv)
+    return (mlp.shape == conv.shape
+            and bool(np.allclose(mlp, conv, rtol=1e-3, atol=1e-4)))
+
+
 def build_mlp_decode_fn(model, variables) -> Callable | None:
     """Linearized spatial decoder: z (B, D) -> flattened sigmoid image via
     dense matmuls — numerically the same map as ``make_decoder_image_fn``
     (float association aside), built for the 1x1-grid decode the Riemannian
     stage runs. None when the decoder can't be expressed as affine+ReLU
-    segments. ``VQVAE_TPU_RIEM_MLP_PRECISION`` sets the matmul precision
+    segments, or when the built linearization fails the self-check below.
+    ``VQVAE_TPU_RIEM_MLP_PRECISION`` sets the matmul precision
     (default ``highest``: true-f32 passes; the FLOP count is tiny)."""
     segs = _decoder_affine_segments(model, variables)
     if segs is None:
         return None
+    if not _verify_affine_segments(model, variables, segs):
+        return None  # probe geometry drifted from the model: conv fallback
     prec = os.environ.get("VQVAE_TPU_RIEM_MLP_PRECISION", "highest")
     mats = [(jnp.asarray(M), jnp.asarray(c)) for M, c in segs]
 
