@@ -74,10 +74,9 @@ def make_latents(n_nodes: int, dim: int = 16, seed: int = 0) -> np.ndarray:
 
 
 def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
-    from scipy import sparse
-
     from vqvae_tpu.ops import (build_knn_graph, edge_lengths_riemannian_auto,
-                               fit_kmedoids, largest_connected_component)
+                               fit_kmedoids, largest_connected_component,
+                               symmetric_csr_from_edges)
     from vqvae_tpu.ops.ell import ELL_STATS
     from vqvae_tpu.ops.riemannian import RIEM_STATS
 
@@ -101,8 +100,9 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     lengths = edge_lengths_riemannian_auto(decode_fn, z, rows, cols,
                                            batch_size=4096, mesh=mesh)
     t_riem = time.perf_counter() - t1
-    W_geo = sparse.csr_matrix((lengths, (rows, cols)), shape=W.shape)
-    W_geo = W_geo + W_geo.T
+    W_geo = symmetric_csr_from_edges(rows, cols,
+                                     np.asarray(lengths, np.float32),
+                                     W.shape[0])
     mask = largest_connected_component(W_geo)
     W_lcc = W_geo[mask][:, mask] if mask.sum() < W.shape[0] else W_geo
     t2 = time.perf_counter()

@@ -119,3 +119,60 @@ def test_threaded_multi_source_consistency(random_latents):
     a = native.dijkstra_multi_source(W, sources)
     b = np.stack([native.dijkstra_multi_source(W, [s])[0] for s in sources])
     np.testing.assert_allclose(a, b)
+
+
+def test_edges_assemble_matches_scipy():
+    from scipy import sparse
+
+    rng = np.random.default_rng(3)
+    n = 600
+    r = rng.integers(0, n, size=4000)
+    c = rng.integers(0, n, size=4000)
+    lo, hi = np.minimum(r, c), np.maximum(r, c)
+    key = np.unique(lo[lo != hi] * n + hi[lo != hi])
+    rows, cols = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    w = (rng.random(rows.size) + 0.01).astype(np.float32)
+    A = native.edges_assemble(rows, cols, w, n)
+    B = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
+    B = B + B.T
+    assert (A != B).nnz == 0
+    # per-row sorted columns (scipy consumers rely on it)
+    A2 = A.copy()
+    A2.sort_indices()
+    assert np.array_equal(A2.indices, A.indices)
+
+
+def test_symmetric_csr_from_edges_routes(monkeypatch):
+    from scipy import sparse
+
+    from vqvae_tpu.ops import symmetric_csr_from_edges
+
+    rng = np.random.default_rng(5)
+    n = 300
+    rows = np.arange(n - 1, dtype=np.int64)
+    cols = rows + 1  # path graph + a few chords
+    extra_r = rng.integers(0, n - 20, size=40).astype(np.int64)
+    extra_c = extra_r + rng.integers(2, 19, size=40)
+    key = np.unique(np.concatenate([rows * n + cols,
+                                    extra_r * n + extra_c]))
+    rows, cols = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    w = (rng.random(rows.size) + 0.01).astype(np.float32)
+    ref = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
+    ref = ref + ref.T
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", "1")
+    W_native = symmetric_csr_from_edges(rows, cols, w, n)
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", str(10**12))
+    W_scipy = symmetric_csr_from_edges(rows, cols, w, n)
+    assert (W_native != ref).nnz == 0
+    assert (W_scipy != ref).nnz == 0
+
+
+def test_lcc_native_route_matches_scipy(disconnected_two_lines, monkeypatch):
+    from vqvae_tpu.ops import largest_connected_component
+
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", "1")
+    m_native = largest_connected_component(disconnected_two_lines)
+    monkeypatch.setenv("VQVAE_TPU_ASSEMBLE_NATIVE_MIN", str(10**12))
+    m_scipy = largest_connected_component(disconnected_two_lines)
+    assert np.array_equal(m_native, m_scipy)
+    assert m_native.tolist() == [True, True, True, False, False]

@@ -33,7 +33,10 @@ def main():
     ap.add_argument("--nodes", type=int, default=196608)
     ap.add_argument("--codes", type=int, default=512)
     ap.add_argument("--knn", type=int, default=10)
-    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--rounds", default="8",
+                    help="comma list of kpp_rounds values to A/B in one "
+                         "process (e.g. 1,2,4 — fewer/wider rounds trade "
+                         "pass count against row width)")
     ap.add_argument("--schedule", default="flat")
     ap.add_argument("--backends", default="auto")
     ap.add_argument("--active", default="1",
@@ -79,17 +82,20 @@ def main():
             print(f"[graph] saved {cache}", file=sys.stderr)
 
     results = {}
+    rounds_list = [int(x) for x in str(args.rounds).split(",")]
     for backend in args.backends.split(","):
+      for rounds in rounds_list:
         for act in args.active.split(","):
             os.environ["VQVAE_TPU_ELL_ACTIVE"] = act
-            label = backend + ("" if act == "1" else f"-active{act}")
+            label = backend + (f"-r{rounds}" if len(rounds_list) > 1 else "")
+            label += "" if act == "1" else f"-active{act}"
             times, qes = [], []
             for r in range(args.runs + 1):  # first run = warm-up/compile
                 n0 = len(ELL_STATS)
                 t1 = time.perf_counter()
                 _, _, qe = fit_kmedoids(W, K=args.codes,
                                         init="kpp_parallel",
-                                        kpp_rounds=args.rounds, seed=42,
+                                        kpp_rounds=rounds, seed=42,
                                         backend=backend)
                 dt = time.perf_counter() - t1
                 ell = ELL_STATS[n0:]

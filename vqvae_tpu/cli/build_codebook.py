@@ -25,7 +25,8 @@ from scipy import sparse
 
 from ..config import Config
 from ..ops import (build_knn_graph_auto, edge_lengths_riemannian_auto,
-                   fit_kmedoids, largest_connected_component)
+                   fit_kmedoids, largest_connected_component,
+                   symmetric_csr_from_edges)
 from ..ops.riemannian import make_decoder_image_fn
 from ..utils.checkpoint import load_vae_from_checkpoint
 from ..utils.latents import load_latents, flatten_spatial
@@ -98,8 +99,8 @@ def build_codebook_main(cfg: Config) -> Path:
     print(f"[codebook] Riemannian re-weighting: {len(lengths)} edges "
           f"({t_riem:.1f}s)")
 
-    W_geo = sparse.csr_matrix((lengths, (rows, cols)), shape=W_eu.shape)
-    W_geo = W_geo + W_geo.T
+    W_geo = symmetric_csr_from_edges(rows, cols, np.asarray(lengths),
+                                     W_eu.shape[0])
 
     mask_lcc = largest_connected_component(W_geo)
     if mask_lcc.sum() < W_geo.shape[0]:

@@ -63,6 +63,10 @@ def _load() -> ctypes.CDLL:
         i64p, f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ctypes.c_int, i64p, i32p, f32p, ctypes.c_int]
     lib.vq_knn_assemble.restype = ctypes.c_int64
+    lib.vq_edges_assemble.argtypes = [
+        i64p, i64p, f32p, ctypes.c_int64, ctypes.c_int64, i64p, i32p, f32p,
+        ctypes.c_int]
+    lib.vq_edges_assemble.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -181,6 +185,35 @@ def knn_assemble(dists: np.ndarray, idxs: np.ndarray, n: int, mode: str,
     return sparse.csr_matrix(
         (w[:nnz].copy(), cols[:nnz].copy(), indptr.astype(np.int32)),
         shape=(n, n))
+
+
+def edges_assemble(rows: np.ndarray, cols: np.ndarray, w: np.ndarray,
+                   n: int):
+    """Symmetric CSR from a unique undirected edge list (one native pass,
+    per-row sorted columns) — replaces ``csr_matrix((w, (r, c))) + .T``.
+    The pairs must be unique and self-loop-free (``rows != cols``)."""
+    from scipy import sparse
+
+    lib = _load()
+    rows = np.ascontiguousarray(rows, np.int64)
+    cols = np.ascontiguousarray(cols, np.int64)
+    w = np.ascontiguousarray(w, np.float32)
+    e = rows.shape[0]
+    if 2 * e > np.iinfo(np.int32).max:
+        raise OverflowError(
+            f"symmetric graph would have {2 * e} nonzeros — exceeds int32 "
+            f"CSR index range; this path needs int64 indices")
+    indptr = np.empty(n + 1, np.int64)
+    out_cols = np.empty(2 * e, np.int32)
+    out_w = np.empty(2 * e, np.float32)
+    nnz = lib.vq_edges_assemble(
+        _ptr(rows, ctypes.c_int64), _ptr(cols, ctypes.c_int64),
+        _ptr(w, ctypes.c_float), e, n, _ptr(indptr, ctypes.c_int64),
+        _ptr(out_cols, ctypes.c_int32), _ptr(out_w, ctypes.c_float),
+        _threads())
+    assert nnz == 2 * e
+    return sparse.csr_matrix((out_w, out_cols, indptr.astype(np.int32)),
+                             shape=(n, n))
 
 
 def available() -> bool:

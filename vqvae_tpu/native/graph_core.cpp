@@ -276,6 +276,60 @@ int64_t vq_knn_assemble(const int64_t* idx, const float* dist, int64_t n,
   return indptr[n];
 }
 
+// Assemble a symmetric CSR from a unique undirected edge list (rows[i],
+// cols[i], w[i]) — each pair emitted in both directions, per-row sorted by
+// column. Replaces the scipy `csr_matrix((w, (r, c))) ; W + W.T` chain in
+// the codebook builders (~1.4 s of single-core passes at 10M edges on this
+// host). Assumes the pairs are unique and self-loop-free (the builders
+// hand in the r < c half of a symmetric graph), so nnz is exactly 2 * e.
+int64_t vq_edges_assemble(const int64_t* rows, const int64_t* cols,
+                          const float* w, int64_t e, int64_t n,
+                          int64_t* indptr, int32_t* out_cols, float* out_w,
+                          int threads) {
+  // pass 1: per-row counts of the doubled list
+  std::vector<int64_t> off(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    ++off[rows[i] + 1];
+    ++off[cols[i] + 1];
+  }
+  for (int64_t i = 0; i < n; ++i) off[i + 1] += off[i];
+
+  // pass 2: scatter both directions (interleaved col+weight: one random
+  // cache line per entry — same layout rationale as vq_knn_assemble)
+  struct Entry {
+    int32_t col;
+    float w;
+  };
+  std::vector<Entry> tmp(off[n]);
+  std::vector<int64_t> cur(off.begin(), off.begin() + n);
+  for (int64_t i = 0; i < e; ++i) {
+    tmp[cur[rows[i]]++] = {static_cast<int32_t>(cols[i]), w[i]};
+    tmp[cur[cols[i]]++] = {static_cast<int32_t>(rows[i]), w[i]};
+  }
+
+  // pass 3: per-row column sort + copy out (threaded over row blocks);
+  // scipy consumers expect sorted indices within each row
+  const int64_t block = 4096;
+  const int64_t n_blocks = (n + block - 1) / block;
+  run_threaded(n_blocks, threads, [&](int64_t b) {
+    const int64_t lo = b * block, hi = std::min(n, lo + block);
+    for (int64_t r = lo; r < hi; ++r) {
+      Entry* seg = tmp.data() + off[r];
+      const int64_t len = off[r + 1] - off[r];
+      std::sort(seg, seg + len,
+                [](const Entry& a, const Entry& b) { return a.col < b.col; });
+      int32_t* oc = out_cols + off[r];
+      float* ow = out_w + off[r];
+      for (int64_t t = 0; t < len; ++t) {
+        oc[t] = seg[t].col;
+        ow[t] = seg[t].w;
+      }
+    }
+  });
+  std::memcpy(indptr, off.data(), (n + 1) * sizeof(int64_t));
+  return off[n];
+}
+
 // Exact kNN (euclidean), blocked over queries, threaded. Self-matches are
 // included (distance 0), mirroring the device kernel's contract.
 // dists/idx have shape (n, k) row-major.

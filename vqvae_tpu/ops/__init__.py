@@ -4,6 +4,7 @@ from .graph import (
     build_knn_graph,
     build_knn_graph_auto,
     largest_connected_component,
+    symmetric_csr_from_edges,
     analyze_graph_connectivity,
 )
 from .shortest_paths import (
@@ -39,6 +40,7 @@ __all__ = [
     "build_knn_graph",
     "build_knn_graph_auto",
     "largest_connected_component",
+    "symmetric_csr_from_edges",
     "analyze_graph_connectivity",
     "multi_source_shortest_paths",
     "single_source_shortest_paths",

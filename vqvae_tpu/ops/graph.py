@@ -205,12 +205,36 @@ def bfs_node_order(W: sparse.csr_matrix) -> np.ndarray:
 
 def largest_connected_component(W: sparse.csr_matrix) -> np.ndarray:
     """Boolean mask of nodes in the largest component (reference
-    knn_graph_optimized.py:173-181)."""
-    n_comp, labels = connected_components(W, directed=False)
+    knn_graph_optimized.py:173-181).
+
+    Large graphs route to the native union-find (8x scipy at 983k/20M on
+    this 1-core host); labels differ (native uses component-root ids) but
+    the mask is label-representation independent."""
+    from .. import native
+
+    if W.nnz >= _native_assemble_min() and native.available():
+        n_comp, labels = native.connected_components(W.tocsr())
+    else:
+        n_comp, labels = connected_components(W, directed=False)
     if n_comp <= 1:
         return np.ones(W.shape[0], dtype=bool)
     counts = np.bincount(labels)
     return labels == np.argmax(counts)
+
+
+def symmetric_csr_from_edges(rows: np.ndarray, cols: np.ndarray,
+                             w: np.ndarray, n: int) -> sparse.csr_matrix:
+    """Symmetric CSR from a unique undirected edge list (``rows < cols``,
+    no duplicates) — the codebook builders' re-weighted-graph assembly.
+    Scipy-identical to ``csr_matrix((w, (rows, cols)), (n, n)); W + W.T``
+    for such inputs; large lists route to the native one-pass assembler
+    (~4x the scipy chain at 10M edges on this 1-core host)."""
+    from .. import native
+
+    if 2 * rows.shape[0] >= _native_assemble_min() and native.available():
+        return native.edges_assemble(rows, cols, w, n)
+    W = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
+    return W + W.T
 
 
 def analyze_graph_connectivity(W: sparse.csr_matrix) -> Dict:
