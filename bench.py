@@ -40,6 +40,15 @@ Scale knobs (env):
   BENCH_BASELINE_FULL      full loop 0/1    (default 0)
   BENCH_PEAK_TFLOPS / BENCH_PEAK_GBPS  hardware peaks (default v5e:
   197 bf16-TFLOPs, 819 HBM GB/s) for the utilization percentages
+
+Robustness (the remote TPU client init takes 3-5 min per process and can be
+transiently UNAVAILABLE for hours): before any in-process device use the
+bench probes the backend in a KILLABLE subprocess with bounded
+retry+backoff (BENCH_INIT_RETRIES x BENCH_INIT_TIMEOUT, backoff
+BENCH_INIT_BACKOFF; skip with BENCH_SKIP_PROBE=1), and ANY failure still
+prints the one-line JSON contract with "value": null and a structured
+"detail.error" (exit code 1) so the driver records a diagnosable artifact
+instead of a parse failure.
 """
 from __future__ import annotations
 
@@ -115,7 +124,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     # --- utilization ------------------------------------------------------
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", 197))
     peak_gbps = float(os.environ.get("BENCH_PEAK_GBPS", 819))
-    from vqvae_tpu.ops.knn import resolve_knn_kernel
+    from vqvae_tpu.ops.knn import KNN_EFFECTIVE, resolve_knn_kernel
     knn_approx = os.environ.get("BENCH_KNN_APPROX", "1") == "1"
     knn_kernel = resolve_knn_kernel(knn_approx)
     knn_dt = int(os.environ.get(
@@ -159,7 +168,12 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
                       else "approx-partialreduce")
                      if knn_approx else "exact"),
         "knn_kernel": knn_kernel,
-        "knn_packed": os.environ.get("VQVAE_TPU_KNN_PACKED", "0") == "1",
+        # effective flag recorded by knn_search — the fused impl can
+        # auto-disable packing on non-power-of-two bins, so the env var
+        # alone would misreport provenance (ops/knn.py:KNN_EFFECTIVE)
+        "knn_packed": bool(KNN_EFFECTIVE.get("packed", False)),
+        "knn_bins": KNN_EFFECTIVE.get("bins"),
+        "knn_sel_tile": KNN_EFFECTIVE.get("sel_tile"),
     }
     log(f"[ours] knn={t_knn:.1f}s riemannian={t_riem:.1f}s "
         f"kmedoids={t_kmed:.1f}s total={total:.1f}s (K={len(medoids)}, "
@@ -310,6 +324,71 @@ def run_baseline(z: np.ndarray, k: int, K: int, decode_fn) -> dict:
                               "kmedoids_extrapolated": round(t_kmed, 1)}}
 
 
+def probe_backend() -> dict:
+    """Bounded-retry TPU readiness probe, run BEFORE any in-process device
+    use.  The remote axon client takes 3-5 min per process to initialize and
+    is transiently UNAVAILABLE for hours at a time; a failed in-process init
+    latches (the backend error is cached), so each attempt runs a tiny device
+    op in a KILLABLE subprocess.  Returns a provenance dict (attempts,
+    seconds waited); raises RuntimeError with the last stderr tail when every
+    attempt fails.  Controlled by BENCH_INIT_RETRIES (default 3),
+    BENCH_INIT_TIMEOUT seconds per attempt (default 600 — covers the 3-5 min
+    init), BENCH_INIT_BACKOFF base sleep seconds (default 60, doubling).
+    Skipped when BENCH_SKIP_PROBE=1 or when running on CPU."""
+    import subprocess
+
+    if (os.environ.get("BENCH_SKIP_PROBE") == "1"
+            or os.environ.get("VQVAE_TPU_PLATFORM") == "cpu"):
+        return {"skipped": True}
+    retries = int(os.environ.get("BENCH_INIT_RETRIES", 3))
+    timeout_s = float(os.environ.get("BENCH_INIT_TIMEOUT", 600))
+    backoff = float(os.environ.get("BENCH_INIT_BACKOFF", 60))
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((128, 128))\n"
+            "(x @ x).block_until_ready()\n"
+            "print('probe-ok', jax.default_backend())\n")
+    t0 = time.perf_counter()
+    last_err = ""
+    for attempt in range(1, retries + 1):
+        ta = time.perf_counter()
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {timeout_s:.0f}s"
+            r = None
+        if r is not None and r.returncode == 0:
+            return {"attempts": attempt,
+                    "probe_seconds": round(time.perf_counter() - t0, 1)}
+        if r is not None:
+            last_err = (r.stderr or r.stdout or "").strip()[-2000:]
+        log(f"[bench] backend probe {attempt}/{retries} failed "
+            f"({time.perf_counter() - ta:.0f}s): ...{last_err[-200:]}")
+        if attempt < retries:
+            sleep_s = backoff * (2 ** (attempt - 1))
+            log(f"[bench] backing off {sleep_s:.0f}s before retry")
+            time.sleep(sleep_s)
+    raise RuntimeError(
+        f"TPU backend unavailable after {retries} probe attempts "
+        f"({time.perf_counter() - t0:.0f}s): {last_err}")
+
+
+def emit_failure(stage: str, err: BaseException, detail: dict) -> None:
+    """Print the one-line JSON contract with value=null and a structured
+    error so a failed capture is a diagnosable artifact, not a parse error."""
+    detail = dict(detail)
+    detail["error"] = {"stage": stage, "type": type(err).__name__,
+                       "message": str(err)[:2000]}
+    print(json.dumps({
+        "metric": "geodesic_codebook_build_seconds",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "detail": detail,
+    }), flush=True)
+
+
 def main() -> None:
     n_nodes = int(os.environ.get("BENCH_NODES", 983040))
     k = int(os.environ.get("BENCH_KNN", 10))
@@ -321,6 +400,13 @@ def main() -> None:
     n_runs = int(os.environ.get("BENCH_RUNS", 3))
     os.environ.setdefault("BENCH_BASELINE_CENTERS", "10" if big else "24")
     run_base = os.environ.get("BENCH_BASELINE", "1") == "1"
+
+    fail_detail = {"nodes": n_nodes, "knn_k": k, "codes": K}
+    try:
+        probe = probe_backend()
+    except (RuntimeError, OSError) as err:
+        emit_failure("backend-probe", err, fail_detail)
+        sys.exit(1)
 
     import jax
 
@@ -344,7 +430,12 @@ def main() -> None:
     from vqvae_tpu.utils.profiling import CompileStats
 
     compiles = CompileStats.install()
-    log(f"[bench] devices={jax.devices()} nodes={n_nodes} k={k} K={K}")
+    try:
+        log(f"[bench] devices={jax.devices()} nodes={n_nodes} k={k} K={K}")
+    except RuntimeError as err:
+        # probe passed but the in-process init still failed (weather moved)
+        emit_failure("client-init", err, {**fail_detail, "probe": probe})
+        sys.exit(1)
     z = make_latents(n_nodes, dim=16, seed=0)
 
     model = VAE(in_channels=1, latent_dim=16, topology="spatial",
@@ -357,7 +448,7 @@ def main() -> None:
                            np.zeros((1, 28, 28, 1), np.float32))
     decode_fn = make_decoder_image_fn(model, variables, "spatial")
 
-    detail = {}
+    detail = {"probe": probe}
     ours_override = os.environ.get("BENCH_OURS_SECONDS")
     if ours_override:
         # re-measure ONLY the baseline (e.g. after a baseline-protocol fix)
@@ -370,27 +461,45 @@ def main() -> None:
         # uncacheable), so a small-slice warm-up would leave the real shapes
         # uncompiled and pollute the measured run with compile latency.
         log("[bench] warm-up compile (full shapes)...")
-        c0 = compiles.snapshot()
-        run_ours(z, k=k, K=K, decode_fn=decode_fn)
-        compile_info = compiles.delta(c0)
-
         runs = []
-        for _ in range(max(n_runs, 1)):
-            t, detail = run_ours(z, k=k, K=K, decode_fn=decode_fn)
-            runs.append(t)
+        try:
+            c0 = compiles.snapshot()
+            run_ours(z, k=k, K=K, decode_fn=decode_fn)
+            compile_info = compiles.delta(c0)
+
+            for _ in range(max(n_runs, 1)):
+                t, detail = run_ours(z, k=k, K=K, decode_fn=decode_fn)
+                runs.append(t)
+        except Exception as err:  # device fault mid-capture: keep what ran
+            if not runs:
+                emit_failure("measurement", err,
+                             {**fail_detail, "probe": probe})
+                sys.exit(1)
+            log(f"[bench] run {len(runs) + 1} failed ({err}); reporting "
+                f"median of the {len(runs)} completed run(s)")
+            detail["partial"] = {"completed_runs": len(runs),
+                                 "requested_runs": max(n_runs, 1),
+                                 "error": str(err)[:500]}
         ours = statistics.median(runs)
         detail["runs"] = [round(t, 2) for t in runs]
         detail["programs_compiled"] = compile_info["programs"]
         detail["compile_seconds"] = compile_info["compile_seconds"]
+    detail["probe"] = probe  # run_ours's detail replaces the initial dict
     detail["nodes"] = n_nodes
     detail["knn_k"] = k
     detail["codes"] = K
 
     vs = None
     if run_base:
-        base = run_baseline(z, k=k, K=K, decode_fn=decode_fn)
-        vs = base["seconds"] / ours
-        detail["baseline"] = base
+        try:
+            base = run_baseline(z, k=k, K=K, decode_fn=decode_fn)
+        except Exception as err:  # keep the measured "ours" number
+            log(f"[bench] baseline failed ({err}); reporting ours only")
+            detail["baseline_error"] = str(err)[:500]
+            base = None
+        if base is not None:
+            vs = base["seconds"] / ours
+            detail["baseline"] = base
         if ours_override:
             # the stored "ours" median and this freshly measured baseline
             # come from different sessions on a platform with ~2x

@@ -211,7 +211,12 @@ def edges_assemble(rows: np.ndarray, cols: np.ndarray, w: np.ndarray,
         _ptr(w, ctypes.c_float), e, n, _ptr(indptr, ctypes.c_int64),
         _ptr(out_cols, ctypes.c_int32), _ptr(out_w, ctypes.c_float),
         _threads())
-    assert nnz == 2 * e
+    if nnz != 2 * e:
+        # not an assert: under `python -O` an assert is stripped and a
+        # native miscount would silently wrap partially-written buffers
+        raise RuntimeError(
+            f"native edges_assemble returned nnz={nnz}, expected {2 * e} "
+            f"(duplicate or self-loop edges in the input list?)")
     return sparse.csr_matrix((out_w, out_cols, indptr.astype(np.int32)),
                              shape=(n, n))
 

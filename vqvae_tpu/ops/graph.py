@@ -10,6 +10,7 @@ host numpy/scipy (the reference's own backend for those steps).
 """
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -232,6 +233,21 @@ def symmetric_csr_from_edges(rows: np.ndarray, cols: np.ndarray,
     from .. import native
 
     if 2 * rows.shape[0] >= _native_assemble_min() and native.available():
+        # the native one-pass assembler ASSUMES rows < cols and no
+        # duplicates (the scipy chain would instead sum duplicates and
+        # tolerate self-loops) — fail loudly on precondition violations
+        # instead of returning a subtly different CSR at scale
+        if rows.shape[0] and not bool(np.all(rows < cols)):
+            raise ValueError(
+                "symmetric_csr_from_edges: edge list must satisfy "
+                "rows < cols (upper-triangular, self-loop-free) for the "
+                "native assembly path")
+        if os.environ.get("VQVAE_TPU_VALIDATE_EDGES") == "1":
+            keys = rows.astype(np.int64) * n + cols
+            if np.unique(keys).shape[0] != keys.shape[0]:
+                raise ValueError(
+                    "symmetric_csr_from_edges: duplicate edges in input "
+                    "(native assembly requires a unique edge list)")
         return native.edges_assemble(rows, cols, w, n)
     W = sparse.csr_matrix((w, (rows, cols)), shape=(n, n))
     return W + W.T

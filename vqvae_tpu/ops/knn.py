@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -148,6 +149,30 @@ def _knn_block_impl(
     return dists.reshape(Qp, k), idxs.reshape(Qp, k)
 
 
+# last effective kNN kernel configuration, recorded by knn_search for
+# provenance consumers (bench.py detail fields); see effective_pallas_params
+KNN_EFFECTIVE: dict = {}
+
+
+def effective_pallas_params(qp: int, sel_tile: int, db_tile: int,
+                            bins: int, packed: bool):
+    """The (sel_tile, bins, packed) the fused kernel will ACTUALLY use for a
+    padded query block of ``qp`` rows — the impl adjusts requested values to
+    satisfy tiling/divisibility, so provenance (e.g. bench.py's knn_packed
+    field) must go through this, not the requesting env var."""
+    if qp % sel_tile:
+        sel_tile = 128 if qp % 128 == 0 else qp
+    bins = min(bins, db_tile)
+    while bins > 8 and db_tile % bins:  # bins must divide the db tile
+        bins //= 2
+    if packed and (bins & (bins - 1)):
+        warnings.warn(
+            f"packed kNN selection disabled: effective bins={bins} is not a "
+            f"power of two (db_tile={db_tile}); running the unpacked kernel")
+        packed = False  # packed slot decode needs power-of-two bins
+    return sel_tile, bins, packed
+
+
 def _knn_block_impl_fused(
     zq: jax.Array,           # (Qp, D) padded query block (local shard)
     z: jax.Array,            # (Np, D) padded database, replicated
@@ -172,13 +197,8 @@ def _knn_block_impl_fused(
     from .pallas_knn import CAND_LANES, fused_select
 
     Qp = zq.shape[0]
-    if Qp % sel_tile:
-        sel_tile = 128 if Qp % 128 == 0 else Qp
-    bins = min(bins, db_tile)
-    while bins > 8 and db_tile % bins:  # bins must divide the db tile
-        bins //= 2
-    if packed and (bins & (bins - 1)):
-        packed = False  # packed slot decode needs power-of-two bins
+    sel_tile, bins, packed = effective_pallas_params(
+        Qp, sel_tile, db_tile, bins, packed)
     n_valid = jnp.sum(row_valid.astype(jnp.int32))
     k_sel = min(k + margin, CAND_LANES)
     cand_d, cand_i = fused_select(
@@ -356,18 +376,30 @@ def knn_search(
     block_align = query_tile * n_shards
     block = min(_round_up(n, block_align),
                 _round_up(query_block, block_align))
+    bins = int(os.environ.get("VQVAE_TPU_KNN_BINS", 1024))
+    sel_tile = int(os.environ.get("VQVAE_TPU_KNN_SELTILE", 128))
+    packed = os.environ.get("VQVAE_TPU_KNN_PACKED", "0") == "1"
+    if kernel == "pallas":
+        # record what the fused kernel will ACTUALLY run (bins/sel_tile
+        # adjust to divisibility; packed silently falls back on
+        # non-power-of-two bins) so provenance reports don't echo the env
+        eff_sel, eff_bins, eff_packed = effective_pallas_params(
+            block // n_shards, sel_tile, db_tile, bins, packed)
+        KNN_EFFECTIVE.update(kernel=kernel, sel_tile=eff_sel, bins=eff_bins,
+                             packed=eff_packed, db_tile=db_tile)
+    else:
+        KNN_EFFECTIVE.update(kernel=kernel, sel_tile=None, bins=None,
+                             packed=False, db_tile=db_tile)
     fn = _build_knn_fn(mesh if n_shards > 1 else None, k, metric, query_tile,
                        db_tile, approx, margin, float(recall_target),
                        bool(aggregate) or not approx,
                        os.environ.get("VQVAE_TPU_KNN_SELDTYPE") == "bf16",
                        kernel=kernel,
-                       bins=int(os.environ.get("VQVAE_TPU_KNN_BINS", 1024)),
+                       bins=bins,
                        interpret=(kernel == "pallas"
                                   and jax.default_backend() != "tpu"),
-                       sel_tile=int(os.environ.get(
-                           "VQVAE_TPU_KNN_SELTILE", 128)),
-                       packed=os.environ.get(
-                           "VQVAE_TPU_KNN_PACKED", "0") == "1")
+                       sel_tile=sel_tile,
+                       packed=packed)
     dists = np.empty((n, k), np.float32)
     idxs = np.empty((n, k), np.int64)
     for s in range(0, n, block):

@@ -175,7 +175,10 @@ def _select_kernel_packed(nv_ref, q_ref, x_ref, outd_ref, outi_ref,
             dist = jax.lax.bitcast_convert_type(vmin & hi_mask, jnp.float32)
             slot = colm & (bins - 1)  # bins is a power of two
             cid = (vmin & lo_mask) * bins + slot
-            cid = jnp.where(vmin == _BIG_I32, -1, cid)
+            # non-finite distance = padded db row or never-filled slot:
+            # emit cid=-1 (the unpacked kernel's contract) so a consumer
+            # that doesn't mask non-finite cand_d can't read padded rows
+            cid = jnp.where(jnp.isfinite(dist), cid, -1)
             out_d = jnp.where(lane == t, dist, out_d)
             out_i = jnp.where(lane == t, cid, out_i)
             full = jnp.where(picked, _BIG_I32, full)

@@ -455,12 +455,15 @@ def edge_lengths_riemannian_nodal(
     return out[:e]
 
 
+_AUTO_DEFAULT_BATCH = 1024
+
+
 def edge_lengths_riemannian_auto(
     decode_fn: Callable,
     z: np.ndarray,
     rows: np.ndarray,
     cols: np.ndarray,
-    batch_size: int = 1024,
+    batch_size: int = _AUTO_DEFAULT_BATCH,
     mesh=None,
 ) -> np.ndarray:
     """Riemannian edge-length engine dispatch.
@@ -496,9 +499,17 @@ def edge_lengths_riemannian_auto(
     if mlp_fn is not None:
         # the linearized engine's live buffers are tiny (<=1k-wide
         # activations), so chunk bigger than conv callers ask for:
-        # 983k-edge sweep measured best at 16384 (docs/benchmarks.md r4)
-        mlp_bs = max(batch_size,
-                     int(os.environ.get("VQVAE_TPU_RIEM_BATCH", 16384)))
+        # 983k-edge sweep measured best at 16384 (docs/benchmarks.md r4).
+        # A caller passing a non-default batch_size keeps control (memory-
+        # constrained hosts); the 16384 floor only lifts the conv default,
+        # and VQVAE_TPU_RIEM_BATCH (when set) floors everything.
+        env_bs = os.environ.get("VQVAE_TPU_RIEM_BATCH")
+        if env_bs is not None:
+            mlp_bs = max(batch_size, int(env_bs))
+        elif batch_size == _AUTO_DEFAULT_BATCH:
+            mlp_bs = 16384
+        else:
+            mlp_bs = batch_size
         out = edge_lengths_riemannian_indexed(
             mlp_fn, z.reshape(z.shape[0], -1), rows, cols,
             batch_size=mlp_bs, mesh=mesh)
