@@ -158,6 +158,7 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
         "codebook_path": f"{exp}/codebook/codebook.npz",
         "transformer": tf_model,
         "vae": vae_arch,
+        "dataset_name": dataset,
         "num_samples": spc * 10,
         "temperature": 1.0,
         "top_k": 50,

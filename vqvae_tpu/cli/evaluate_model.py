@@ -110,7 +110,13 @@ def evaluate_model_main(cfg: Config) -> dict:
     lpips_val = compute_lpips(generated, real)
 
     results = {"PSNR": f"{psnr_val:.4f}", "SSIM": f"{ssim_val:.4f}",
-               "LPIPS": f"{lpips_val:.4f}" if lpips_val is not None else None}
+               "LPIPS": f"{lpips_val:.4f}" if lpips_val is not None else None,
+               # full-precision twins: a 4-digit "0.0000" hides whether the
+               # value is a clipped epsilon or a genuine zero (see
+               # docs/runs/cifar10-spatial-geodesic-rootcause.md)
+               "PSNR_full": float(psnr_val), "SSIM_full": float(ssim_val),
+               "LPIPS_full": (float(lpips_val) if lpips_val is not None
+                              else None)}
     print(f"PSNR: {psnr_val:.4f}, SSIM: {ssim_val:.4f}, "
           f"LPIPS: {results['LPIPS']}")
 

@@ -4,7 +4,9 @@ Semantics parity: per-class autoregressive sampling with temperature +
 top-k; vanilla mode prompts with BOS = num_tokens-1 and keeps the first
 generated code; spatial mode starts from a random first token and samples
 the remaining 15 grid cells; codes index into ``z_medoid`` and the grid is
-decoded through sigmoid(decoder). One PNG grid with ``samples_per_class``
+decoded through the dataset-aware display mapping (sigmoid for
+sigmoid-trained losses, CIFAR mean/std denormalization for raw-logit MSE;
+the reference's generate_samples.py:97 hard-codes sigmoid — a bug). One PNG grid with ``samples_per_class``
 images per row.
 
 TPU improvement: sampling runs with a KV cache under one jit (the
@@ -58,7 +60,9 @@ def generate_samples_main(cfg: Config) -> Path:
     top_k = int(top_k) if top_k is not None else None
     num_tokens = int(tf_cfg["num_tokens"])
     max_seq_len = int(tf_cfg["max_seq_len"])
-    latent_dim = int(vae_cfg["latent_dim"])
+    # the codebook is ground truth for the per-cell latent width — a stale
+    # yaml (e.g. regenerated after the training run) must not break decode
+    latent_dim = int(codebook_vectors.shape[-1])
 
     # all classes sample in ONE batched KV-cached call (the reference loops
     # classes with a full-prefix recompute per token, generate_samples.py:66)
@@ -88,12 +92,21 @@ def generate_samples_main(cfg: Config) -> Path:
         zq = codebook_vectors[codes]  # (B, 16, latent_dim)
         zq = zq.reshape(n_total, 4, 4, latent_dim)  # NHWC grid
 
-    # one-off artifact decode: run on local CPU, not a remote compile
+    # one-off artifact decode: run on local CPU, not a remote compile.
+    # Display mapping honors the training-time output space: sigmoid only
+    # when the loss saw sigmoid (bce or mse_use_sigmoid), CIFAR raw-logit
+    # models denormalize instead. The reference's generate_samples.py:97
+    # hard-codes .sigmoid() — a bug its own evaluators avoid (reference
+    # evaluate_quantization_loss.py:53-62); with mse_use_sigmoid=false the
+    # sigmoid of normalized-space logits saturates to an all-black grid.
     from ..parallel import run_on_cpu
+    from ..utils.images import unnormalize_images
 
-    final = np.asarray(run_on_cpu(
-        lambda v, z: jax.nn.sigmoid(vae.apply(v, z, method=vae.decode)),
-        vae_vars, zq))
+    apply_sigmoid = (recon_loss == "bce") or mse_use_sigmoid
+    dataset_name = str(cfg.get("dataset_name", "fashionmnist"))
+    logits = np.asarray(run_on_cpu(
+        lambda v, z: vae.apply(v, z, method=vae.decode), vae_vars, zq))
+    final = unnormalize_images(logits, dataset_name, apply_sigmoid)
     out_dir = Path(cfg["output_dir"])
     out_path = out_dir / str(cfg.get("output_filename", "generated_samples.png"))
     save_image_grid(final, out_path, nrow=samples_per_class, padding=2)

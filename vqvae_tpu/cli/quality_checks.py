@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.datasets import CIFAR10_MEAN, CIFAR10_STD, load_dataset
+from ..data.datasets import load_dataset
+from ..utils.images import unnormalize_images
 from ..eval.metrics import psnr_np, ssim_simple_np
 from ..utils.checkpoint import load_vae_from_checkpoint
 from ..utils.latents import load_latents
@@ -48,15 +49,6 @@ def nearest_medoid_assign(z: np.ndarray, z_medoid: np.ndarray,
     return idx
 
 
-def unnormalize_images(x: np.ndarray, dataset_name: str,
-                       apply_sigmoid: bool) -> np.ndarray:
-    """Dataset-aware logits->display mapping (reference
-    evaluate_quantization_loss.py:53-62). NHWC."""
-    if dataset_name.upper() == "CIFAR10" and not apply_sigmoid:
-        return np.clip(x * CIFAR10_STD + CIFAR10_MEAN, 0.0, 1.0)
-    if apply_sigmoid:
-        return 1.0 / (1.0 + np.exp(-x))
-    return np.clip(x, 0.0, 1.0)
 
 
 def _decode_sweep(model, variables, z: np.ndarray, dataset_name: str,
@@ -109,6 +101,22 @@ def evaluate_vae_quality_main(experiment: str | Path, dataset: str = "fashionmni
     p = psnr_np(x_from_z, x_from_mu)
     s = ssim_simple_np(x_from_z, x_from_mu)
     quality, proceed = assess_quality(p, s)
+
+    # Posterior-collapse detector (beyond the reference gate): x(z) vs x(mu)
+    # measures latent-noise sensitivity, so a decoder that IGNORES its latent
+    # scores a perfect PSNR — the reference's CIFAR spatial run sails through
+    # at "excellent" exactly this way. A collapsed posterior has mu carrying
+    # no information: per-dim variance of mu across samples ~ 0 everywhere.
+    mu_flat = np.asarray(mu, np.float32).reshape(len(mu), -1)
+    mu_var_max = float(mu_flat.var(axis=0).max()) if len(mu_flat) > 1 else 1.0
+    collapsed = mu_var_max < 1e-2
+    if collapsed:
+        print(f"WARNING: posterior collapse suspected — max per-dim var(mu) "
+              f"= {mu_var_max:.2e} (< 1e-2). The {p:.0f} dB x(z)-vs-x(mu) "
+              f"PSNR only means the decoder ignores z; downstream geodesic "
+              f"geometry will be vacuous. Rating capped at POOR.")
+        quality, proceed = "poor", False
+
     print(f"PSNR: {p:.2f} dB, SSIM: {s:.4f}")
     print(f"Quality: {quality.upper()}")
     print(f"Recommendation: {'PROCEED' if proceed else 'RETRAIN'}")
@@ -118,6 +126,8 @@ def evaluate_vae_quality_main(experiment: str | Path, dataset: str = "fashionmni
         "quality_rating": quality,
         "recommendation": "proceed" if proceed else "retrain",
         "samples_evaluated": int(len(x_from_mu)),
+        "mu_variance_max": mu_var_max,
+        "posterior_collapse_suspected": bool(collapsed),
     }
     out = vae_dir / "vae_quality_assessment.json"
     with open(out, "w") as f:

@@ -9,6 +9,22 @@ import numpy as np
 from PIL import Image
 
 
+def unnormalize_images(x: np.ndarray, dataset_name: str,
+                       apply_sigmoid: bool) -> np.ndarray:
+    """Dataset-aware logits->display mapping (reference
+    evaluate_quantization_loss.py:53-62, evaluate_vae_quality.py:60-71).
+    NHWC. CIFAR-10 trained with raw-logit MSE decodes into mean/std-
+    normalized space, so display = x*std+mean clipped to [0,1]; sigmoided
+    models map through sigmoid; everything else clips."""
+    from ..data.datasets import CIFAR10_MEAN, CIFAR10_STD
+
+    if dataset_name.upper() == "CIFAR10" and not apply_sigmoid:
+        return np.clip(x * CIFAR10_STD + CIFAR10_MEAN, 0.0, 1.0)
+    if apply_sigmoid:
+        return 1.0 / (1.0 + np.exp(-x))
+    return np.clip(x, 0.0, 1.0)
+
+
 def make_grid(images: np.ndarray, nrow: int = 8, padding: int = 2,
               pad_value: float = 0.0) -> np.ndarray:
     """Tile (N,H,W,C) [0,1] images into one (GH,GW,C) grid, torchvision-style
