@@ -23,6 +23,19 @@ def test_all_stages_skipped_returns_total_only(tmp_path):
     assert set(timings) == {"total"}
 
 
+def test_timings_dump_env(tmp_path, monkeypatch):
+    import json
+
+    d = tmp_path / "p"
+    d.mkdir()
+    (d / "vae.yaml").write_text("out_dir: x\n")
+    out = tmp_path / "timings.json"
+    monkeypatch.setenv("VQVAE_TPU_TIMINGS_PATH", str(out))
+    run_pipeline(d, skip=set(STAGES), root_dir=tmp_path)
+    rec = json.loads(out.read_text())
+    assert "total" in rec and "programs_compiled" in rec
+
+
 def test_stage_order_contract():
     # the five-stage contract plus the quality gate, in execution order
     assert tuple(STAGES) == ("vae", "codebook", "quality", "transformer",

@@ -141,4 +141,11 @@ def run_pipeline(
     print(f"[pipeline] TOTAL: {timings['total']:.1f}s "
           f"({ {k: round(v, 1) for k, v in timings.items()} }); "
           f"{dt['programs']} XLA programs, {dt['compile_seconds']}s compiling")
+    timings_path = os.environ.get("VQVAE_TPU_TIMINGS_PATH")
+    if timings_path:
+        import json
+
+        with open(timings_path, "w") as f:
+            json.dump({**timings, "programs_compiled": dt["programs"],
+                       "compile_seconds": dt["compile_seconds"]}, f, indent=2)
     return timings
