@@ -123,3 +123,87 @@ def test_lpips_matches_torch_oracle(tmp_path, shape):
     ours = lpips_distance(gen, real, weights_path=path)
     oracle = _torch_lpips_oracle(gen, real, w)
     np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=1e-6)
+
+
+def test_export_tool_from_alexnet_state_dict(tmp_path):
+    """tools/export_lpips_weights.py must build a valid npz from a raw
+    torchvision AlexNet state_dict (trunk-only -> uniform lins), and the
+    result must feed lpips_distance (VERDICT r4 item 6)."""
+    torch = pytest.importorskip("torch")
+    sys_path = str(__import__("pathlib").Path(__file__).parent.parent)
+    import sys
+
+    if sys_path not in sys.path:
+        sys.path.insert(0, sys_path)
+    from tools.export_lpips_weights import (_STAGE_CH, _TV_CONV_IDX,
+                                            from_alexnet_state_dict)
+
+    rng = np.random.RandomState(0)
+    cfg = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+           (256, 256, 3)]
+    sd = {}
+    for (oc, ic, k), tv_idx in zip(cfg, _TV_CONV_IDX):
+        sd[f"features.{tv_idx}.weight"] = torch.from_numpy(
+            (rng.randn(oc, ic, k, k) / np.sqrt(ic * k * k)).astype(
+                np.float32))
+        sd[f"features.{tv_idx}.bias"] = torch.zeros(oc)
+    pth = tmp_path / "alexnet-owt.pth"
+    torch.save(sd, pth)
+
+    w = from_alexnet_state_dict(pth)
+    for i, ch in enumerate(_STAGE_CH):
+        assert w[f"conv{i}/kernel"].ndim == 4
+        np.testing.assert_allclose(w[f"lin{i}"], 1.0 / ch)
+    assert str(w["meta/lins"]) == "uniform"
+
+    npz = tmp_path / "lpips_alex.npz"
+    np.savez(npz, **w)
+    x = np.random.RandomState(1).rand(2, 28, 28, 3).astype(np.float32)
+    y = np.random.RandomState(2).rand(2, 28, 28, 3).astype(np.float32)
+    assert lpips_distance(x, y, weights_path=npz) > 0
+    assert lpips_distance(x, x, weights_path=npz) < 1e-6
+
+
+def test_evaluate_model_emits_nonnull_lpips(tmp_path, monkeypatch):
+    """Pipeline-level: evaluate_model must record a real LPIPS whenever a
+    valid weights file is resolvable via $LPIPS_WEIGHTS (VERDICT r4
+    item 6: 'null only with a logged reason')."""
+    import yaml as _yaml  # noqa: F401
+
+    from vqvae_tpu.cli.evaluate_model import evaluate_model_main
+    from vqvae_tpu.config import Config
+    from vqvae_tpu.utils.images import save_image_grid
+
+    rng = np.random.RandomState(0)
+    w = _synthetic_lpips_weights(rng)
+    wpath = tmp_path / "synth_lpips.npz"
+    np.savez(wpath, **w)
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(wpath))
+
+    spc, n_cls, size = 2, 10, 28
+    grid = rng.rand(spc * n_cls, size, size, 1).astype(np.float32)
+    gen_path = tmp_path / "generated_samples.png"
+    save_image_grid(grid, gen_path, nrow=spc, padding=2)
+
+    cfg = Config({
+        "dataset_name": "fashionmnist",
+        "data": {"dataset_name": "fashionmnist", "synthetic_size": 512},
+        "samples_per_class": spc,
+        "num_samples": spc * n_cls,
+        "image_size": size,
+        "generated_path": str(gen_path),
+        "out_dir": str(tmp_path / "eval"),
+    })
+    res = evaluate_model_main(cfg)
+    assert res["LPIPS"] is not None and np.isfinite(res["LPIPS"])
+
+    # and the null path logs its reason
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(tmp_path / "missing.npz"))
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        res2 = evaluate_model_main(cfg)
+    assert res2["LPIPS"] is None
+    assert "LPIPS: null —" in buf.getvalue()

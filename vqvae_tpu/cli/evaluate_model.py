@@ -81,11 +81,18 @@ def load_real_by_class(dataset_name: str, num_images: int, size: int,
 
 
 def compute_lpips(generated: np.ndarray, real: np.ndarray) -> Optional[float]:
+    """Real LPIPS whenever ANY valid weights file is resolvable (see
+    eval/lpips.py search order: $LPIPS_WEIGHTS, data/lpips_alex.npz,
+    tools/export_lpips_weights.py to produce one); null only with a
+    logged reason."""
     try:
         from ..eval.lpips import lpips_distance
 
         return lpips_distance(generated, real)
-    except (ImportError, FileNotFoundError):
+    except (ImportError, FileNotFoundError) as err:
+        print(f"[evaluate] LPIPS: null — {err} "
+              f"(run tools/export_lpips_weights.py on a machine with "
+              f"torchvision/lpips weights to enable)")
         return None
 
 
