@@ -58,6 +58,13 @@ def preset(dataset, variant, distance, *, sandbox=False, out_root=None):
         "mse_use_sigmoid": not cifar_spatial,
         "topology": "spatial" if spatial else "flat",
     }
+    if cifar_spatial:
+        # the reference recipe (beta=1, no anneal, no free bits, raw-logit
+        # MSE) posterior-collapses on CIFAR — measured on both sides, see
+        # docs/runs/cifar10-spatial-geodesic-rootcause.md. 0.1 nats/dim
+        # over the 4x4x32 grid floors KL at 51.2 nats; spatial_free_bits
+        # is this framework's opt-in lever (None = reference parity).
+        model["spatial_free_bits"] = 0.1
     if not spatial:
         model.update({"free_bits": 0.25, "capacity_max": 25.0,
                       "capacity_anneal_steps": 100_000,

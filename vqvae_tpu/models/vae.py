@@ -164,6 +164,10 @@ class VAE(nn.Module):
     capacity_max: float = 15.0
     capacity_anneal_steps: int = 50_000
     capacity_mode: str = "abs"
+    # spatial-topology opt-in anti-collapse clamp (reference parity = None;
+    # the reference's spatial loss has no such lever and its CIFAR run
+    # posterior-collapses — docs/runs/cifar10-spatial-geodesic-rootcause.md)
+    spatial_free_bits: Optional[float] = None
 
     def setup(self):
         assert self.recon_loss in {"bce", "mse"}
@@ -224,6 +228,7 @@ def elbo_loss(
     capacity_anneal_steps: int = 0,
     capacity_mode: str = "abs",
     step: int | jax.Array = 0,
+    spatial_free_bits: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """ELBO with the reference's exact reduction semantics.
 
@@ -248,6 +253,12 @@ def elbo_loss(
     kl_per = -0.5 * (1.0 + logvar - mu**2 - jnp.exp(logvar))
     if topology == "flat" and free_bits is not None:
         kl_per = jnp.maximum(kl_per, free_bits)
+    elif topology == "spatial" and spatial_free_bits is not None:
+        # NOT in the reference (its spatial loss has no anti-collapse
+        # lever, spatial_vae.py:110-125, and its CIFAR spatial run shows
+        # it — see docs/runs/cifar10-spatial-geodesic-rootcause.md).
+        # Opt-in per-dim free-bits clamp; None (default) = parity.
+        kl_per = jnp.maximum(kl_per, spatial_free_bits)
     kl_axes = tuple(range(1, mu.ndim))
     kl = (kl_per.sum(kl_axes) * mask).sum() / denom
 

@@ -117,7 +117,8 @@ class VAEEngine:
                     capacity_max=model.capacity_max,
                     capacity_anneal_steps=model.capacity_anneal_steps,
                     capacity_mode=model.capacity_mode,
-                    step=state.step)
+                    step=state.step,
+                    spatial_free_bits=model.spatial_free_bits)
                 return total, (recon, kl, new_vars.get("batch_stats", {}))
 
             (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
@@ -145,7 +146,8 @@ class VAEEngine:
                 capacity_max=model.capacity_max,
                 capacity_anneal_steps=model.capacity_anneal_steps,
                 capacity_mode=model.capacity_mode,
-                step=state.step)
+                step=state.step,
+                    spatial_free_bits=model.spatial_free_bits)
             x_rec = jax.nn.sigmoid(x_logits) if model.apply_sigmoid else x_logits
             x_rec = jnp.clip(x_rec, 0.0, 1.0)
             return {
@@ -199,7 +201,8 @@ class VAEEngine:
                     capacity_max=model.capacity_max,
                     capacity_anneal_steps=model.capacity_anneal_steps,
                     capacity_mode=model.capacity_mode,
-                    step=state.step)
+                    step=state.step,
+                    spatial_free_bits=model.spatial_free_bits)
                 return total, (recon, kl, new_vars.get("batch_stats", {}))
 
             (total, (recon, kl, new_bs)), grads = jax.value_and_grad(
@@ -245,7 +248,8 @@ class VAEEngine:
                     free_bits=model.free_bits,
                     capacity_max=model.capacity_max,
                     capacity_anneal_steps=model.capacity_anneal_steps,
-                    capacity_mode=model.capacity_mode, step=state.step)
+                    capacity_mode=model.capacity_mode, step=state.step,
+                    spatial_free_bits=model.spatial_free_bits)
                 x_rec = (jax.nn.sigmoid(x_logits) if model.apply_sigmoid
                          else x_logits)
                 x_rec = jnp.clip(x_rec, 0.0, 1.0)
