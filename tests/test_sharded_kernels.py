@@ -121,3 +121,49 @@ def test_ell_uneven_k_falls_back_replicated(mesh):
     d = np.asarray(multi_source_shortest_paths_ell(bg, sources, mesh=mesh))
     oracle = dijkstra(W, directed=False, indices=sources).T
     np.testing.assert_allclose(d, oracle, rtol=1e-5, atol=1e-5)
+
+
+def test_ell_k_sharded_hlo_has_no_data_collectives(mesh):
+    """Mechanically verify docs/multichip.md's zero-data-collective claim.
+
+    The K-sharded solver's contract (ops/ell.py:multi_source_shortest_paths_ell
+    docstring): every op in the sweep is K-elementwise, so GSPMD partitions
+    the whole while-loop with NO collectives on (N, K)-sized f32 distance
+    data — the only allowed collective is the bool row-changed any-reduce
+    (pred[chunk], ~N bool bytes per sweep). This inspects the compiled HLO
+    on the 8-device mesh and asserts exactly that, so a future regression
+    (e.g. an op that breaks the K-elementwise property and makes GSPMD
+    insert per-sweep all-gathers) fails loudly instead of silently costing
+    ICI bandwidth at scale.
+    """
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vqvae_tpu.ops.ell import _ell_run
+    from vqvae_tpu.parallel.mesh import DATA_AXIS
+
+    W = _random_graph(128, 5, seed=7)
+    bg = BucketedGraph.from_csr(W)
+    k = 16
+    sources = np.arange(k)
+    d0 = jnp.full((128, k), jnp.inf).at[sources, jnp.arange(k)].set(0.0)
+    d0 = jax.device_put(d0, NamedSharding(mesh, P(None, DATA_AXIS)))
+    hlo = _ell_run.lower(bg.nbrs, bg.wts, bg.perm_nodes, bg.inv_perm,
+                         d0, jnp.int32(129), False).compile().as_text()
+
+    for banned in ("all-gather(", "all-gather-start(", "all-to-all(",
+                   "collective-permute(", "reduce-scatter("):
+        assert banned not in hlo, f"unexpected {banned} in solver HLO"
+
+    # every all-reduce must be on bool row-flags (pred[chunk]), never on
+    # f32 distance data. HLO shapes look like `pred[128]{0} all-reduce(`.
+    shapes = re.findall(r"= (\w+)\[([\d,]*)\](?:\{[\d,]*\})? all-reduce",
+                        hlo)
+    assert shapes, "expected the row-changed any-reduce in the sharded HLO"
+    for dtype, dims in shapes:
+        assert dtype == "pred", (
+            f"all-reduce on {dtype}[{dims}] in solver HLO — data collective")
+        n_elems = int(np.prod([int(d) for d in dims.split(",") if d] or [1]))
+        assert n_elems <= 128, (  # one chunk of row flags at this shape
+            f"all-reduce on oversized pred[{dims}] in solver HLO")

@@ -388,8 +388,10 @@ def multi_source_shortest_paths_ell(
     ``mesh``: >1-device meshes shard the K (source) axis of the distance
     matrix across chips. Every op in the sweep is K-elementwise — the
     neighbor gathers index the *node* axis with replicated indices — so
-    GSPMD partitions the whole while-loop without collectives except the
-    scalar convergence any-reduce.
+    GSPMD partitions the whole while-loop without collectives on distance
+    data; the only cross-chip traffic is the per-chunk ``pred[chunk]``
+    row-changed any-reduce (~N bool bytes per sweep, 1/(4K) of the gather
+    bytes — pinned by the HLO test in tests/test_sharded_kernels.py).
     """
     sources = jnp.asarray(sources, jnp.int32)
     k = sources.shape[0]
