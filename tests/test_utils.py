@@ -130,3 +130,37 @@ def test_make_results_table(tmp_path):
     assert tex.count(r"\begin{tabular}") == tex.count(r"\end{tabular}")
     assert r"\begin{figure}" in tex and r"\end{figure}" in tex
     assert "a/geo" in tex and "&" in tex
+
+
+def test_unnormalize_images_display_mapping():
+    """The round-5 CIFAR display fix: a raw-logit-MSE CIFAR decoder emits
+    into mean/std-normalized space, so display must be x*std+mean — NOT
+    sigmoid (the reference hard-applies sigmoid in generate_samples.py:97,
+    which floors its own CIFAR SSIM; docs/runs/
+    cifar10-spatial-geodesic-rootcause.md)."""
+    from vqvae_tpu.data.datasets import CIFAR10_MEAN, CIFAR10_STD
+    from vqvae_tpu.utils.images import unnormalize_images
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.05, 0.95, size=(2, 4, 4, 3)).astype(np.float32)
+
+    # CIFAR raw-logit path: normalized-space prediction round-trips to [0,1]
+    normalized = (img - CIFAR10_MEAN) / CIFAR10_STD
+    out = unnormalize_images(normalized, "cifar10", apply_sigmoid=False)
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+    # a sigmoid mapping of the same prediction CANNOT recover the image
+    # (this is exactly the recorded SSIM=1.5e-06 failure mode)
+    sig = unnormalize_images(normalized, "cifar10", apply_sigmoid=True)
+    assert np.abs(sig - img).max() > 0.1
+
+    # sigmoided models map through sigmoid regardless of dataset
+    logits = np.array([[-20.0, 0.0, 20.0]], np.float32).reshape(1, 1, 3, 1)
+    out = unnormalize_images(logits, "fashionmnist", apply_sigmoid=True)
+    np.testing.assert_allclose(out.ravel(), [0.0, 0.5, 1.0], atol=1e-6)
+
+    # raw [0,1]-space models just clip
+    raw = np.array([[-0.2, 0.4, 1.3]], np.float32).reshape(1, 1, 3, 1)
+    out = unnormalize_images(raw, "fashionmnist", apply_sigmoid=False)
+    np.testing.assert_allclose(out.ravel(), [0.0, 0.4, 1.0], atol=1e-6)
