@@ -133,3 +133,21 @@ def test_failed_capture_renders_error(tmp_path, monkeypatch):
     assert "Capture FAILED at stage `backend-probe`" in text
     # no README note for a failed capture
     assert "R5-CAPTURE-NOTE" not in (repo / "README.md").read_text()
+
+
+def test_sweep_tolerates_per_case_errors(tmp_path, monkeypatch):
+    """bench_knn --out checkpoints partial sweeps; a crashed case lands as
+    {"error": ...} and must not break the fold (it renders as FAILED)."""
+    mod, repo = load_tool(tmp_path, monkeypatch)
+    (repo / "docs/runs/knn-pallas-sweep-r5.json").write_text(json.dumps(
+        {"nodes": 983040, "k": 10, "results": {
+            "pallas-1024x4096x1024x128x4x0":
+                {"seconds": 16.5, "recall_vs_exact": 0.9999},
+            "pallas-1024x8192x1024x256x4x1":
+                {"error": "XlaRuntimeError: RESOURCE_EXHAUSTED: vmem"},
+        }}))
+    monkeypatch.setattr(sys, "argv", ["record_r5_results.py"])
+    assert mod.main() == 0
+    text = (repo / "docs/benchmarks.md").read_text()
+    assert "FAILED: pallas-1024x8192x1024x256x4x1" in text
+    assert "16.5" in text

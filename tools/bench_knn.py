@@ -44,6 +44,10 @@ def main():
                          "1024x2048x1024,1024x4096x1024x256x4x1 (reports "
                          "recall vs an exact XLA run)")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=None,
+                    help="also write the results JSON here incrementally "
+                         "(after every case), so a mid-sweep crash keeps "
+                         "the completed cases")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -61,6 +65,13 @@ def main():
           file=sys.stderr)
     z = make_latents(args.nodes, dim=args.dim, seed=0)
     results = {}
+
+    def checkpoint():
+        """Persist partial results after every case: a crash mid-sweep
+        (device fault, bad config) must not lose the completed cases."""
+        if args.out:
+            Path(args.out).write_text(json.dumps(
+                {"nodes": args.nodes, "k": args.k, "results": results}))
     for case in args.cases.split(","):
         if not case:  # --cases '' skips the XLA tile sweep entirely
             continue
@@ -87,6 +98,7 @@ def main():
                 print(f"[{key}] {min(times):.2f}s (all runs: "
                       f"{[round(t, 2) for t in times]}, self_ok={self_ok})",
                       file=sys.stderr)
+                checkpoint()
     if args.recalls:
         d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
         ref_sets = [set(r) for r in i_ref]
@@ -106,37 +118,45 @@ def main():
                             "recall_vs_exact": round(rec, 5)}
             print(f"[{key}] {min(times):.2f}s recall={rec:.5f}",
                   file=sys.stderr)
+            checkpoint()
     if args.pallas_cases:
         import os
 
         d_ref, i_ref = knn_search(z, k=args.k + 1, approx=False)
         ref_sets = [set(r) for r in i_ref]
         for case in args.pallas_cases.split(","):
-            parts = [int(x) for x in case.split("x")]
-            qt, dt, bins = parts[:3]
-            os.environ["VQVAE_TPU_KNN_BINS"] = str(bins)
-            os.environ["VQVAE_TPU_KNN_SELTILE"] = str(
-                parts[3] if len(parts) > 3 else 128)
-            margin = parts[4] if len(parts) > 4 else None
-            os.environ["VQVAE_TPU_KNN_PACKED"] = str(
-                parts[5] if len(parts) > 5 else 0)
-            times = []
-            for r in range(args.runs + 1):  # run 0 = compile
-                t0 = time.perf_counter()
-                d, i = knn_search(z, k=args.k + 1, kernel="pallas",
-                                  query_tile=qt, db_tile=dt, margin=margin)
-                if r > 0:
-                    times.append(time.perf_counter() - t0)
-            rec = float(np.mean([len(ref_sets[q].intersection(i[q]))
-                                 / i.shape[1]
-                                 for q in range(0, len(i), 97)]))
             key = f"pallas-{case}"
-            results[key] = {"seconds": round(min(times), 2),
-                            "recall_vs_exact": round(rec, 5),
-                            "self_ok": bool((d[:, 0] <= 1e-5).all())}
-            print(f"[{key}] {min(times):.2f}s (all runs: "
-                  f"{[round(t, 2) for t in times]}) recall={rec:.5f}",
-                  file=sys.stderr)
+            try:
+                parts = [int(x) for x in case.split("x")]
+                qt, dt, bins = parts[:3]
+                os.environ["VQVAE_TPU_KNN_BINS"] = str(bins)
+                os.environ["VQVAE_TPU_KNN_SELTILE"] = str(
+                    parts[3] if len(parts) > 3 else 128)
+                margin = parts[4] if len(parts) > 4 else None
+                os.environ["VQVAE_TPU_KNN_PACKED"] = str(
+                    parts[5] if len(parts) > 5 else 0)
+                times = []
+                for r in range(args.runs + 1):  # run 0 = compile
+                    t0 = time.perf_counter()
+                    d, i = knn_search(z, k=args.k + 1, kernel="pallas",
+                                      query_tile=qt, db_tile=dt,
+                                      margin=margin)
+                    if r > 0:
+                        times.append(time.perf_counter() - t0)
+                rec = float(np.mean([len(ref_sets[q].intersection(i[q]))
+                                     / i.shape[1]
+                                     for q in range(0, len(i), 97)]))
+                results[key] = {"seconds": round(min(times), 2),
+                                "recall_vs_exact": round(rec, 5),
+                                "self_ok": bool((d[:, 0] <= 1e-5).all())}
+                print(f"[{key}] {min(times):.2f}s (all runs: "
+                      f"{[round(t, 2) for t in times]}) recall={rec:.5f}",
+                      file=sys.stderr)
+            except Exception as e:  # isolate a bad config / device fault
+                results[key] = {"error": f"{type(e).__name__}: {e}"[:500]}
+                print(f"[{key}] FAILED: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            checkpoint()
     print(json.dumps({"nodes": args.nodes, "k": args.k, "results": results}))
 
 
