@@ -128,7 +128,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     knn_approx = os.environ.get("BENCH_KNN_APPROX", "1") == "1"
     knn_kernel = resolve_knn_kernel(knn_approx)
     knn_dt = int(os.environ.get(
-        "VQVAE_TPU_KNN_DT", 4096 if knn_kernel == "pallas" else 32768))
+        "VQVAE_TPU_KNN_DT", 8192 if knn_kernel == "pallas" else 32768))
     knn_qt = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
     np_pad = ((n + knn_dt - 1) // knn_dt) * knn_dt  # kNN db pad
     knn_flops = 2.0 * n * np_pad * d

@@ -335,10 +335,11 @@ def knn_search(
     if query_tile is None:
         query_tile = int(os.environ.get("VQVAE_TPU_KNN_QT", 1024))
     if db_tile is None:
-        # pallas 4096: best of the 983k hardware sweep (16.5s vs 17.6s at
-        # 2048, docs/benchmarks.md round-3 Pallas kNN table)
+        # pallas 8192: best of the round-5 983k hardware sweep — 9.1-9.5s
+        # packed vs 10.9-12.3s at 4096 (docs/benchmarks.md "Round 5:
+        # driver-queue captures"; round-3 had picked 4096 over 2048)
         db_tile = int(os.environ.get(
-            "VQVAE_TPU_KNN_DT", 4096 if kernel == "pallas" else 32768))
+            "VQVAE_TPU_KNN_DT", 8192 if kernel == "pallas" else 32768))
     if aggregate is None:
         aggregate = os.environ.get("VQVAE_TPU_KNN_AGG", "1") == "1"
     z = np.asarray(z, dtype=np.float32)
@@ -378,7 +379,10 @@ def knn_search(
                 _round_up(query_block, block_align))
     bins = int(os.environ.get("VQVAE_TPU_KNN_BINS", 1024))
     sel_tile = int(os.environ.get("VQVAE_TPU_KNN_SELTILE", 128))
-    packed = os.environ.get("VQVAE_TPU_KNN_PACKED", "0") == "1"
+    # packed keys default ON since the round-5 sweep: 1.2x at matched tiles,
+    # 1.35x combined with db_tile 8192, recall unchanged (0.99928); auto-
+    # falls back to unpacked when bins land on a non-power-of-two.
+    packed = os.environ.get("VQVAE_TPU_KNN_PACKED", "1") == "1"
     if kernel == "pallas":
         # record what the fused kernel will ACTUALLY run (bins/sel_tile
         # adjust to divisibility; packed silently falls back on
