@@ -58,12 +58,20 @@ def main():
     ncomp_eu, _ = connected_components(W_eu, directed=False)
     sp_eu = mean_shortest_path(W_eu, seed=args.seed)
 
-    W_riem = _reweight_graph_with_riemannian(
+    W_riem_raw = _reweight_graph_with_riemannian(
         W_eu, z, decode_fn, mode="subset", max_edges=args.max_edges,
         seed=args.seed)
-    # normalize the riemannian scale so the dilation ratio is unit-free
-    scale = W_eu.sum() / max(W_riem.sum(), 1e-12)
-    W_riem = W_riem * scale
+    # The reference computes the ratio on RAW mixed units — Riemannian
+    # lengths (decoder-Jacobian units) spliced into a Euclidean-weighted
+    # graph (reference experiments/geo/run_riemann_experiments.py:146-152)
+    # — so its R depends on the decoder's output scale. Report that raw
+    # ratio for protocol parity, AND a unit-free one where the total edge
+    # weight is renormalized so R isolates the re-weighting's effect on
+    # path STRUCTURE from the unit mismatch.
+    sp_riem_raw = mean_shortest_path(W_riem_raw, seed=args.seed)
+    ratio_raw = sp_riem_raw / max(sp_eu, 1e-12)
+    scale = W_eu.sum() / max(W_riem_raw.sum(), 1e-12)
+    W_riem = W_riem_raw * scale
     ncomp_riem, _ = connected_components(W_riem, directed=False)
     sp_riem = mean_shortest_path(W_riem, seed=args.seed)
 
@@ -75,14 +83,17 @@ def main():
         "mean_sp_euclidean": sp_eu,
         "mean_sp_riemannian": sp_riem,
         "path_dilation_ratio": ratio,
+        "mean_sp_riemannian_raw": sp_riem_raw,
+        "path_dilation_ratio_raw": ratio_raw,
     }
     print(json.dumps(results, indent=2))
     out = exp / "riemann_graph_effect.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"[exp] connectivity unchanged: {ncomp_eu == ncomp_riem}; "
-          f"dilation ratio R={ratio:.3f} "
-          f"(reference reported R=1.152 on MNIST, "
+          f"dilation ratio R={ratio:.3f} (unit-free), "
+          f"R_raw={ratio_raw:.3f} (reference's mixed-unit protocol; "
+          f"it reported R_raw=1.152 on MNIST, "
           f"docs/geo/riemann_graph_effect.md:55-66)")
 
 
