@@ -63,6 +63,7 @@ import numpy as np
 os.environ.setdefault("OMP_NUM_THREADS", "8")  # pin baseline threading
 os.environ["VQVAE_TPU_ELL_STATS"] = "1"
 os.environ["VQVAE_TPU_RIEM_STATS"] = "1"
+os.environ["VQVAE_TPU_KMED_STATS"] = "1"
 
 
 def log(msg: str) -> None:
@@ -87,6 +88,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
                                fit_kmedoids, largest_connected_component,
                                symmetric_csr_from_edges)
     from vqvae_tpu.ops.ell import ELL_STATS
+    from vqvae_tpu.ops.kmedoids import KMED_STATS
     from vqvae_tpu.ops.riemannian import RIEM_STATS
 
     from vqvae_tpu.parallel import get_mesh
@@ -95,6 +97,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     n, d = z.shape
     stats_start = len(ELL_STATS)
     riem_start = len(RIEM_STATS)
+    kmed_start = len(KMED_STATS)
     t0 = time.perf_counter()
     W, _ = build_knn_graph(z, k=k, metric="euclidean", mode="connectivity",
                            sym="union",
@@ -148,6 +151,19 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
                      for r in riem)
     riem_secs = sum(r["seconds"] for r in riem)
     riem_tflops = riem_flops / max(riem_secs, 1e-9) / 1e12
+    # where t_kmed goes OUTSIDE the solver (VQVAE_TPU_KMED_STATS): BFS
+    # reorder + permuted-CSR rebuild, ELL assembly + H2D push, per-pass
+    # device dispatch minus in-solver time, host d^2 sampling
+    km = KMED_STATS[kmed_start:]
+    km = km[-1] if km else {}
+    km_pass = sum(km.get("pass_seconds", []))
+    kmed_split = {
+        "reorder_s": round(km.get("reorder_seconds", 0.0), 2),
+        "device_graph_s": round(km.get("device_graph_seconds", 0.0), 2),
+        "pass_s": round(km_pass, 2),
+        "dispatch_overhead_s": round(km_pass - ell_secs, 2),
+        "sample_s": round(km.get("sample_seconds", 0.0), 2),
+    }
     detail = {
         "stage_seconds": {"knn": round(t_knn, 2), "riemannian": round(t_riem, 2),
                           "kmedoids": round(t_kmed, 2)},
@@ -162,6 +178,7 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
         "relaxation_passes": len(ell),
         "relaxation_sweeps": sum(e["iters"] for e in ell),
         "relaxation_seconds_in_solver": round(ell_secs, 2),
+        "kmed_split": kmed_split,
         "qe": round(float(qe), 2),
         "lcc_nodes": int(mask.sum()),
         "knn_mode": (("approx-pallas-fused" if knn_kernel == "pallas"

@@ -212,3 +212,31 @@ def test_kpp_parallel_qe_contract_49k():
     (measured mean ratio 1.015 over 3 seeds; exact kpp noise ~2%)."""
     _qe_contract(n=49152, K=256, seeds=(42, 1, 2), tol_mean=1.025,
                  tol_single=1.05)
+
+
+def test_kmed_stats_records_stage_split(random_latents, monkeypatch):
+    """VQVAE_TPU_KMED_STATS=1 appends one record per kpp_parallel fit with
+    the non-solver stage split bench.py reports (kmed_split)."""
+    from vqvae_tpu.ops import kmedoids as km
+
+    monkeypatch.setenv("VQVAE_TPU_KMED_STATS", "1")
+    W, _ = build_knn_graph_auto(random_latents, k=6, sym="union")
+    start = len(km.KMED_STATS)
+    medoids, assign, qe = fit_kmedoids(W, K=8, init="kpp_parallel", seed=0,
+                                       backend="device")
+    recs = km.KMED_STATS[start:]
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["n"] == W.shape[0] and rec["K"] == 8
+    assert rec["passes"] == len(rec["pass_seconds"]) >= 1
+    assert all(s >= 0 for s in rec["pass_seconds"])
+    assert rec["sample_seconds"] >= 0
+    # attached by fit_kmedoids after init (0.0 below the reorder threshold)
+    assert "reorder_seconds" in rec
+    # stats must not change results: same fit with stats off
+    monkeypatch.delenv("VQVAE_TPU_KMED_STATS")
+    m2, a2, q2 = fit_kmedoids(W, K=8, init="kpp_parallel", seed=0,
+                              backend="device")
+    assert np.array_equal(medoids, m2) and np.array_equal(assign, a2)
+    assert qe == q2
+    assert len(km.KMED_STATS) == start + 1

@@ -36,6 +36,8 @@ same distance matrix.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import List, Tuple, Union
 
 import numpy as np
@@ -44,6 +46,16 @@ from .backend import HOST_WORK_THRESHOLD, _native_ok, multi_source_distances
 from .shortest_paths import EdgeList
 
 GraphLike = Union["scipy.sparse.spmatrix", EdgeList]  # noqa: F821
+
+# set VQVAE_TPU_KMED_STATS=1 to append one record per fit_kmedoids call:
+# where the stage's wall time goes OUTSIDE the ELL solver (BFS reorder,
+# device-graph build + H2D, per-pass device dispatch, host d^2 sampling).
+# Complements ELL_STATS (in-solver time); bench.py reports the split.
+KMED_STATS: list = []
+
+
+def _kmed_stats_on() -> bool:
+    return os.environ.get("VQVAE_TPU_KMED_STATS") == "1"
 
 
 class GraphHandle:
@@ -102,14 +114,26 @@ class GraphHandle:
         if self._edges is not None:
             return multi_source_distances(self._edges, sources, "device",
                                           d0=d0, device_out=device_out)
-        if self._bucketed is None:
+        self.ensure_device_graph()
+        return multi_source_distances(self._bucketed, sources, "device",
+                                      d0=d0, device_out=device_out,
+                                      mesh=self.mesh)
+
+    def ensure_device_graph(self, block: bool = False) -> None:
+        """Build the device ELL structure now (it is otherwise built lazily
+        inside the first ``distances`` call, hiding its host-assembly +
+        H2D cost in that round's timing). ``block`` waits for the device
+        transfer so callers can time it truthfully."""
+        if self._bucketed is None and self._csr is not None:
             from .ell import BucketedGraph
 
             self._bucketed = BucketedGraph.from_csr(
                 self._csr, assume_symmetric=self._assume_sym)
-        return multi_source_distances(self._bucketed, sources, "device",
-                                      d0=d0, device_out=device_out,
-                                      mesh=self.mesh)
+        if block and self._bucketed is not None:
+            import jax
+
+            jax.block_until_ready(self._bucketed.nbrs)
+            jax.block_until_ready(self._bucketed.wts)
 
 
 def _resolve(W: GraphLike, K: int, backend: str) -> Tuple["GraphHandle", str, int]:
@@ -284,11 +308,20 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
         d_min_dev = jnp.full((n,), jnp.inf, jnp.float32)
         assign_dev = jnp.zeros((n,), jnp.int32)
 
+    stats = ({"n": int(n), "K": int(K), "passes": 0, "pass_seconds": [],
+              "sample_seconds": 0.0}
+             if _kmed_stats_on() else None)
+    if stats is not None and use_device and isinstance(graph, GraphHandle):
+        t0 = time.perf_counter()
+        graph.ensure_device_graph(block=True)
+        stats["device_graph_seconds"] = time.perf_counter() - t0
+
     new_centers = [first] * per_round
     round_ids = np.zeros(per_round, dtype=np.int64)
     r = 0
     while True:
         # relax from the centers added last round (one batched pass)
+        t_pass = time.perf_counter() if stats is not None else 0.0
         srcs = np.asarray(new_centers, np.int64)
         if use_device:
             d0 = _warm_d0(d_min_dev, jnp.asarray(srcs, jnp.int32), mesh=mesh)
@@ -296,7 +329,7 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
             d_min_dev, assign_dev = _round_update(
                 d_new_dev, d_min_dev, assign_dev,
                 jnp.asarray(round_ids, jnp.int32))
-            d_min = np.asarray(d_min_dev)
+            d_min = np.asarray(d_min_dev)  # full sync: pass ends here
         else:
             d_new = graph.distances(srcs)
             best = d_new.min(axis=1)
@@ -306,10 +339,14 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
                 assign = np.where(improved, round_ids[local], assign)
             d_min = np.minimum(d_min, best)
 
+        if stats is not None:
+            stats["passes"] += 1
+            stats["pass_seconds"].append(time.perf_counter() - t_pass)
         if r >= len(sizes) or len(centers) >= K:
             break
         m = min(sizes[r], K - len(centers))
         r += 1
+        t_sample = time.perf_counter() if stats is not None else 0.0
         probs = _safe_sq_probs(d_min, centers)
         total = probs.sum()
         if total <= 0:
@@ -331,7 +368,11 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
             new_base + np.arange(len(real), dtype=np.int64),
             np.zeros(n_pad, dtype=np.int64)])
         centers.extend(real)
+        if stats is not None:
+            stats["sample_seconds"] += time.perf_counter() - t_sample
 
+    if stats is not None:
+        KMED_STATS.append(stats)
     centers = centers[:K]
     if use_device:
         assign = np.asarray(assign_dev).astype(np.int64)
@@ -385,12 +426,15 @@ def fit_kmedoids(
     from scipy import sparse
 
     perm = None
+    reorder_s = 0.0
     if (reorder and sparse.issparse(W)
             and float(W.nnz) * max(K, 1) >= HOST_WORK_THRESHOLD):
         from .graph import bfs_node_order
 
+        t0 = time.perf_counter()
         perm = bfs_node_order(W)
         W = W.tocsr()[perm][:, perm]
+        reorder_s = time.perf_counter() - t0
 
     if sparse.issparse(W):  # symmetry survives the BFS permutation
         W = GraphHandle(W, backend, mesh=mesh,
@@ -411,6 +455,8 @@ def fit_kmedoids(
             graph, K, seed=seed, rounds=kpp_rounds, backend=resolved,
             return_assignment=True, schedule=kpp_schedule, mesh=mesh)
         medoids = np.asarray(medoids, dtype=np.int64)
+        if _kmed_stats_on() and KMED_STATS:
+            KMED_STATS[-1]["reorder_seconds"] = reorder_s
     elif init == "random":
         rng = np.random.default_rng(seed)
         medoids = rng.choice(n, size=min(K, n), replace=False).astype(np.int64)
