@@ -427,6 +427,12 @@ def fit_kmedoids(
 
     perm = None
     reorder_s = 0.0
+    # env escape hatch for A/Bs: the BFS relabel + permuted-CSR rebuild
+    # costs ~5 s host time at 983k/19.6M (bench detail.kmed_split) and its
+    # sweep-count benefit is order-dependent — see docs/benchmarks.md
+    # "node-ordering A/B"
+    if os.environ.get("VQVAE_TPU_KMED_REORDER", "1") != "1":
+        reorder = False
     if (reorder and sparse.issparse(W)
             and float(W.nnz) * max(K, 1) >= HOST_WORK_THRESHOLD):
         from .graph import bfs_node_order
