@@ -160,6 +160,10 @@ def run_ours(z: np.ndarray, k: int, K: int, decode_fn):
     kmed_split = {
         "reorder_s": round(km.get("reorder_seconds", 0.0), 2),
         "device_graph_s": round(km.get("device_graph_seconds", 0.0), 2),
+        "device_graph_build_s": round(
+            km.get("device_graph_build_seconds", 0.0), 2),
+        "device_graph_wait_s": round(
+            km.get("device_graph_wait_seconds", 0.0), 2),
         "pass_s": round(km_pass, 2),
         "dispatch_overhead_s": round(km_pass - ell_secs, 2),
         "sample_s": round(km.get("sample_seconds", 0.0), 2),

@@ -105,3 +105,27 @@ def test_active_stats_record_skips(random_latents, monkeypatch):
     assert rec["chunk_visits"] >= rec["chunk_relaxed"] > 0
     assert 0 < rec["active_frac"] <= 1
     assert rec["bytes"] > 0
+
+def test_cap_ladder_shapes():
+    from vqvae_tpu.ops.ell import _cap_ladder
+
+    caps = _cap_ladder(66)  # default grow=1.5
+    assert caps[0] == 8 and caps[-1] >= 66
+    assert all(c % 4 == 0 for c in caps)
+    assert all(b > a for a, b in zip(caps, caps[1:]))  # strictly increasing
+
+
+def test_distances_invariant_across_cap_ladders(random_latents, monkeypatch):
+    # the ladder changes only layout/padding, never the fixed point
+    from vqvae_tpu.ops import build_knn_graph
+
+    W, _ = build_knn_graph(random_latents, k=6, sym="union")
+    sources = [0, 17, 55, 123]
+    monkeypatch.setenv("VQVAE_TPU_ELL_CAPGROW", "2")
+    monkeypatch.setenv("VQVAE_TPU_ELL_MINROWS", "4")  # keep buckets distinct
+    d_pow2 = _ours(W, sources)
+    monkeypatch.setenv("VQVAE_TPU_ELL_CAPGROW", "1.5")
+    d_x15 = _ours(W, sources)
+    ref = dijkstra(W, directed=False, indices=sources)
+    np.testing.assert_allclose(d_pow2, ref, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(d_x15, ref, rtol=1e-5, atol=1e-4)

@@ -7,8 +7,9 @@ contract as ops/shortest_paths.py, different engine.
 
 The edge-list relaxation reduces with ``segment_min`` (a scatter);
 TPU/XLA executes scatters far below HBM bandwidth. This representation
-removes the scatter entirely: nodes are grouped into power-of-two in-degree
-buckets, each bucket stores a dense ``(N_b, deg)`` neighbor/weight matrix
+removes the scatter entirely: nodes are grouped into geometric in-degree
+buckets (see ``_cap_ladder``), each bucket stores a dense ``(N_b, deg)``
+neighbor/weight matrix
 (padded with +inf weights), and a relaxation step for one row chunk is
 
     cand = min_axis1( D[nbr_chunk] + w_chunk )        # gathers
@@ -121,103 +122,126 @@ class BucketedGraph(NamedTuple):
                      n_nodes: int) -> "BucketedGraph":
         """Build from dst-sorted in-edge arrays (src[i], w[i] grouped per
         destination node with per-node ``counts``)."""
-        if (w < 0).any():
-            raise ValueError("Negative weights")
-        starts = np.concatenate([[0], np.cumsum(counts)])[:n_nodes]
-        e_total = len(src)
+        return _from_sorted_impl(src, w, counts, n_nodes)
 
-        max_deg = int(counts.max()) if n_nodes else 0
-        caps = [8]
-        while caps[-1] < max(max_deg, 8):
-            caps.append(caps[-1] * 2)
-        caps_arr = np.asarray(caps)
-        bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
 
-        # merge sparsely-populated buckets upward: every bucket costs a
-        # scan + its own relaxation program in the sweep, so a bucket worth
-        # only a few row-chunks is pure overhead — promote its rows to the
-        # next power-of-two cap (their extra slots are +inf-padded, adding
-        # gather traffic only for those few rows)
-        min_rows = int(os.environ.get("VQVAE_TPU_ELL_MINROWS", 8192))
-        sizes = np.bincount(bucket_of, minlength=len(caps))
-        for b in range(len(caps) - 1):
-            if 0 < sizes[b] < min_rows:
-                bucket_of[bucket_of == b] = b + 1
-                sizes[b + 1] += sizes[b]
-                sizes[b] = 0
+def _cap_ladder(max_deg: int) -> list:
+    """Degree caps for the buckets, geometric with growth factor
+    ``VQVAE_TPU_ELL_CAPGROW`` (default 1.5), rounded to multiples of 4.
 
-        # pass 1 (cheap, O(N)): bucket membership, row offsets, inv_perm —
-        # so pass 2 can gather ROW ids directly (one fused gather per
-        # bucket, instead of gathering node ids and re-gathering through
-        # inv_perm over the padded arrays afterwards)
-        node_order, row_offsets, pads = [], [], []
-        offset = 0
-        for b, cap in enumerate(caps):
-            nodes_b = np.nonzero(bucket_of == b)[0]
-            node_order.append(nodes_b)
-            row_offsets.append(offset)
-            chunk_b = _row_chunk(nodes_b.size)
-            n_pad = max(chunk_b, ((nodes_b.size + chunk_b - 1) // chunk_b)
-                        * chunk_b) if nodes_b.size else 0
-            pads.append(n_pad)
-            offset += n_pad
+    The sweep's dominant traffic is the K-wide distance-row gather per
+    edge SLOT (padded included), so tighter caps cut both the per-sweep
+    gather bytes and the H2D push of the padded arrays. pow2 (grow=2)
+    pads a k=10 kNN-union graph (mean degree ~16) to ~1.54x nnz slots;
+    grow=1.5 lands ~1.28x with one extra bucket per sweep — A/B'd on v5e
+    (docs/benchmarks.md round-5 cap-ladder note)."""
+    grow = float(os.environ.get("VQVAE_TPU_ELL_CAPGROW", 1.5))
+    caps = [8]
+    while caps[-1] < max(max_deg, 8):
+        nxt = max(caps[-1] + 4, int(caps[-1] * grow))
+        caps.append((nxt + 3) // 4 * 4)
+    return caps
 
-        inv_perm = np.empty(n_nodes, np.int32)
-        for b, nodes_b in enumerate(node_order):
-            if nodes_b.size:
-                inv_perm[nodes_b] = (row_offsets[b]
-                                     + np.arange(nodes_b.size)).astype(np.int32)
-        perm_nodes = np.zeros(max(offset, 1), np.int32)
-        perm_nodes[inv_perm] = np.arange(n_nodes, dtype=np.int32)
-        src_rows = inv_perm[src] if e_total else src  # one O(E) map
 
-        # pass 2: padded (rows, cap) neighbor/weight matrices per bucket —
-        # one threaded native memcpy pass when available (8 s -> sub-second
-        # at 30M edges on this host), multi-pass numpy otherwise
-        try:
-            from .. import native
+def _from_sorted_impl(src: np.ndarray, w: np.ndarray, counts: np.ndarray,
+                      n_nodes: int) -> "BucketedGraph":
+    """Build from dst-sorted in-edge arrays (src[i], w[i] grouped per
+    destination node with per-node ``counts``)."""
+    if (w < 0).any():
+        raise ValueError("Negative weights")
+    starts = np.concatenate([[0], np.cumsum(counts)])[:n_nodes]
+    e_total = len(src)
 
-            fill = native.ell_fill_bucket if native.available() else None
-        except ImportError:
-            fill = None
-        nbrs, wts = [], []
-        w = np.ascontiguousarray(w, np.float32)
-        src_rows = np.ascontiguousarray(src_rows, np.int32)
-        for b, cap in enumerate(caps):
-            nodes_b = node_order[b]
-            if nodes_b.size == 0:
-                nbrs.append(jnp.zeros((0, cap), jnp.int32))
-                wts.append(jnp.zeros((0, cap), jnp.float32))
-                continue
-            n_pad = pads[b]
-            if fill is not None and e_total:
-                nb, wb = fill(src_rows, w, starts[nodes_b], counts[nodes_b],
-                              n_pad, cap)
-            else:
-                offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
-                valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
-                offs = np.clip(offs, 0, max(e_total - 1, 0))
-                nb = np.where(valid, src_rows[offs] if e_total else 0,
-                              0).astype(np.int32)
-                wb = np.where(valid, w[offs] if e_total else _INF,
-                              _INF).astype(np.float32)
-                if n_pad > nodes_b.size:  # dummy rows: row 0, +inf weights
-                    pad_rows = n_pad - nodes_b.size
-                    nb = np.concatenate([nb,
-                                         np.zeros((pad_rows, cap), np.int32)])
-                    wb = np.concatenate([wb, np.full((pad_rows, cap), _INF,
-                                                     np.float32)])
-            nbrs.append(jnp.asarray(nb))
-            wts.append(jnp.asarray(wb))
+    max_deg = int(counts.max()) if n_nodes else 0
+    caps = _cap_ladder(max_deg)
+    caps_arr = np.asarray(caps)
+    bucket_of = np.searchsorted(caps_arr, np.maximum(counts, 1))
 
-        return BucketedGraph(
-            nbrs=tuple(nbrs),
-            wts=tuple(wts),
-            inv_perm=jnp.asarray(inv_perm),
-            perm_nodes=jnp.asarray(perm_nodes[:offset] if offset
-                                   else perm_nodes),
-            n_nodes=int(n_nodes),
-        )
+    # merge sparsely-populated buckets upward: every bucket costs a
+    # scan + its own relaxation program in the sweep, so a bucket worth
+    # only a few row-chunks is pure overhead — promote its rows to the
+    # next cap (their extra slots are +inf-padded, adding gather traffic
+    # only for those few rows)
+    min_rows = int(os.environ.get("VQVAE_TPU_ELL_MINROWS", 8192))
+    sizes = np.bincount(bucket_of, minlength=len(caps))
+    for b in range(len(caps) - 1):
+        if 0 < sizes[b] < min_rows:
+            bucket_of[bucket_of == b] = b + 1
+            sizes[b + 1] += sizes[b]
+            sizes[b] = 0
+
+    # pass 1 (cheap, O(N)): bucket membership, row offsets, inv_perm —
+    # so pass 2 can gather ROW ids directly (one fused gather per
+    # bucket, instead of gathering node ids and re-gathering through
+    # inv_perm over the padded arrays afterwards)
+    node_order, row_offsets, pads = [], [], []
+    offset = 0
+    for b, cap in enumerate(caps):
+        nodes_b = np.nonzero(bucket_of == b)[0]
+        node_order.append(nodes_b)
+        row_offsets.append(offset)
+        chunk_b = _row_chunk(nodes_b.size)
+        n_pad = max(chunk_b, ((nodes_b.size + chunk_b - 1) // chunk_b)
+                    * chunk_b) if nodes_b.size else 0
+        pads.append(n_pad)
+        offset += n_pad
+
+    inv_perm = np.empty(n_nodes, np.int32)
+    for b, nodes_b in enumerate(node_order):
+        if nodes_b.size:
+            inv_perm[nodes_b] = (row_offsets[b]
+                                 + np.arange(nodes_b.size)).astype(np.int32)
+    perm_nodes = np.zeros(max(offset, 1), np.int32)
+    perm_nodes[inv_perm] = np.arange(n_nodes, dtype=np.int32)
+    src_rows = inv_perm[src] if e_total else src  # one O(E) map
+
+    # pass 2: padded (rows, cap) neighbor/weight matrices per bucket —
+    # one threaded native memcpy pass when available (8 s -> sub-second
+    # at 30M edges on this host), multi-pass numpy otherwise
+    try:
+        from .. import native
+
+        fill = native.ell_fill_bucket if native.available() else None
+    except ImportError:
+        fill = None
+    nbrs, wts = [], []
+    w = np.ascontiguousarray(w, np.float32)
+    src_rows = np.ascontiguousarray(src_rows, np.int32)
+    for b, cap in enumerate(caps):
+        nodes_b = node_order[b]
+        if nodes_b.size == 0:
+            nbrs.append(jnp.zeros((0, cap), jnp.int32))
+            wts.append(jnp.zeros((0, cap), jnp.float32))
+            continue
+        n_pad = pads[b]
+        if fill is not None and e_total:
+            nb, wb = fill(src_rows, w, starts[nodes_b], counts[nodes_b],
+                          n_pad, cap)
+        else:
+            offs = starts[nodes_b][:, None] + np.arange(cap)[None, :]
+            valid = np.arange(cap)[None, :] < counts[nodes_b][:, None]
+            offs = np.clip(offs, 0, max(e_total - 1, 0))
+            nb = np.where(valid, src_rows[offs] if e_total else 0,
+                          0).astype(np.int32)
+            wb = np.where(valid, w[offs] if e_total else _INF,
+                          _INF).astype(np.float32)
+            if n_pad > nodes_b.size:  # dummy rows: row 0, +inf weights
+                pad_rows = n_pad - nodes_b.size
+                nb = np.concatenate([nb,
+                                     np.zeros((pad_rows, cap), np.int32)])
+                wb = np.concatenate([wb, np.full((pad_rows, cap), _INF,
+                                                 np.float32)])
+        nbrs.append(jnp.asarray(nb))
+        wts.append(jnp.asarray(wb))
+
+    return BucketedGraph(
+        nbrs=tuple(nbrs),
+        wts=tuple(wts),
+        inv_perm=jnp.asarray(inv_perm),
+        perm_nodes=jnp.asarray(perm_nodes[:offset] if offset
+                               else perm_nodes),
+        n_nodes=int(n_nodes),
+    )
 
 
 def _deg_block(chunk: int, deg: int, k: int) -> int:
@@ -234,7 +258,7 @@ def _deg_block(chunk: int, deg: int, k: int) -> int:
         budget = 10_000_000  # f32 elements (~40 MB live gather buffer)
         b = max(1, budget // max(chunk * k, 1))
     b = min(b, deg)
-    while deg % b:  # caps are powers of two; keep the loop exact
+    while deg % b:  # caps are multiples of 4, so halving lands on a divisor
         b //= 2
     return max(b, 1)
 

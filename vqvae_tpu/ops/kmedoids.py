@@ -123,17 +123,25 @@ class GraphHandle:
         """Build the device ELL structure now (it is otherwise built lazily
         inside the first ``distances`` call, hiding its host-assembly +
         H2D cost in that round's timing). ``block`` waits for the device
-        transfer so callers can time it truthfully."""
+        transfer so callers can time it truthfully.
+
+        Timing split (read by the KMED_STATS consumer): ``_build_s`` is
+        host assembly + async H2D dispatch, ``_xfer_wait_s`` the residual
+        wait for the transfer to land on device."""
         if self._bucketed is None and self._csr is not None:
             from .ell import BucketedGraph
 
+            t0 = time.perf_counter()
             self._bucketed = BucketedGraph.from_csr(
                 self._csr, assume_symmetric=self._assume_sym)
+            self._build_s = time.perf_counter() - t0
         if block and self._bucketed is not None:
             import jax
 
+            t1 = time.perf_counter()
             jax.block_until_ready(self._bucketed.nbrs)
             jax.block_until_ready(self._bucketed.wts)
+            self._xfer_wait_s = time.perf_counter() - t1
 
 
 def _resolve(W: GraphLike, K: int, backend: str) -> Tuple["GraphHandle", str, int]:
@@ -315,6 +323,9 @@ def kpp_parallel_initialization(W: GraphLike, K: int, seed: int = 42,
         t0 = time.perf_counter()
         graph.ensure_device_graph(block=True)
         stats["device_graph_seconds"] = time.perf_counter() - t0
+        stats["device_graph_build_seconds"] = getattr(graph, "_build_s", 0.0)
+        stats["device_graph_wait_seconds"] = getattr(graph, "_xfer_wait_s",
+                                                     0.0)
 
     new_centers = [first] * per_round
     round_ids = np.zeros(per_round, dtype=np.int64)
